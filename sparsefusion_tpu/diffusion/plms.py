@@ -1,0 +1,176 @@
+"""PLMS / PNDM fast sampler as a fixed-shape ``lax.scan``.
+
+Re-design of the reference's ``PLMSSampler`` (``external/plms.py:13-214``)
+for XLA: the Python list of previous epsilons becomes a carried (3, ...)
+ring buffer, the Adams-Bashforth order selection becomes ``lax.switch``,
+and the *variable* step count (n_steps = min(int(max_thres * 100), 50),
+``plms.py:87``) becomes a fixed 50-iteration scan with per-step
+``lax.cond`` masking — so one compiled executable serves every randomly
+drawn ``max_thres`` in the distillation loop with no retraces.
+
+Semantics preserved from the reference:
+  * step 0 runs a pseudo improved-Euler bootstrap (3 UNet evals),
+  * steps 1 / 2 use 2nd / 3rd-order AB, steps >= 3 use AB4,
+  * each x_prev adds posterior noise except when t_next == 0,
+  * ``max_thres >= 0.99`` starts from the raw input as "noise" over the
+    full schedule; otherwise the input is q_sampled to max_thres.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparsefusion_tpu.diffusion.ddpm import DDPM, clip_x_start
+from sparsefusion_tpu.diffusion.schedule import right_pad_dims_to
+
+
+def _x_prev_from_eps(ddpm: DDPM, rng, x, t, t_next, eps):
+    """x_start from eps -> clip -> q_posterior -> noisy step.
+
+    Mirrors the tail of ``get_model_output`` (``plms.py:182-213``).
+    """
+    sched = ddpm.schedule
+    x_start = sched.predict_start_from_noise(x, t, eps)
+    x_start = clip_x_start(x_start, ddpm.config)
+    mean, _, log_var = sched.q_posterior(x_start, x, t, t_next)
+    noise = jax.random.normal(rng, x.shape, x.dtype)
+    is_last = (t_next == 0).astype(x.dtype)
+    nonzero = right_pad_dims_to(x, 1.0 - is_last)
+    return mean + nonzero * jnp.exp(0.5 * log_var) * noise, x_start
+
+
+def plms_sample(
+    ddpm: DDPM,
+    denoise_fn: Callable,
+    rng: jax.Array,
+    image: jnp.ndarray,
+    max_thres: jnp.ndarray,
+    cond_images: Optional[jnp.ndarray] = None,
+    cond_scale: float = 1.0,
+    plms_steps: int = 50,
+):
+    """Partial-noise PLMS sampling used by the fusion loss.
+
+    Args:
+        image: (B, H, W, C) clean latents to start from.
+        max_thres: scalar in [0, 0.99] (traced OK) — noise level to start at.
+
+    Returns:
+        (img, x_noisy, noise, alpha_cumprod) matching ``plms.py:114-119``.
+    """
+    cfg = ddpm.config
+    sched = ddpm.schedule
+    batch = image.shape[0]
+    max_thres = jnp.asarray(max_thres, jnp.float32)
+
+    full_start = max_thres >= 0.99
+    n_steps = jnp.where(
+        full_start, plms_steps,
+        jnp.minimum((max_thres * plms_steps * 2).astype(jnp.int32),
+                    plms_steps))
+    denom = jnp.maximum(n_steps, 1).astype(jnp.float32)
+
+    # t_i = start * (n - i) / n for i <= n else 0; start = 1.0 for full_start
+    start_t = jnp.where(full_start, 1.0, max_thres)
+    i_idx = jnp.arange(plms_steps + 1, dtype=jnp.float32)
+    times_all = start_t * jnp.clip(denom - i_idx, min=0.0) / denom
+    t_pairs = jnp.stack([times_all[:-1], times_all[1:]], axis=1)  # (S, 2)
+
+    k_init, k_loop = jax.random.split(rng)
+    init_noise = jax.random.normal(k_init, image.shape, image.dtype)
+    x_noisy, log_snr = sched.q_sample(image, max_thres, init_noise)
+    img0 = jnp.where(full_start, image, x_noisy)
+
+    def eval_eps(x, t):
+        return ddpm.forward_with_cond_scale(
+            denoise_fn, x, sched.get_condition(jnp.full((batch,), t)),
+            cond_images, cond_scale)
+
+    def tfull(t):
+        return jnp.full((batch,), t)
+
+    # ---- step 0: pseudo improved Euler (plms.py:137-143) -----------------
+    def step0(img, key, t, t_next):
+        k1, k2, k3 = jax.random.split(key, 3)
+        e_t = eval_eps(img, t)
+        x_prev1, _ = _x_prev_from_eps(ddpm, k1, img, tfull(t), tfull(t_next),
+                                      e_t)
+        e_t_next = eval_eps(x_prev1, t_next)
+        e_prime = (e_t + e_t_next) / 2
+        x_prev, _ = _x_prev_from_eps(ddpm, k2, img, tfull(t), tfull(t_next),
+                                     e_prime)
+        return x_prev, e_t
+
+    def run_step0(carry):
+        img, key = carry
+        key, sub = jax.random.split(key)
+        t, t_next = t_pairs[0, 0], t_pairs[0, 1]
+        x_prev, e_t = step0(img, sub, t, t_next)
+        hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
+        return x_prev, hist, jnp.int32(1), key
+
+    def skip_step0(carry):
+        img, key = carry
+        z = jnp.zeros_like(img)
+        return img, jnp.stack([z, z, z]), jnp.int32(0), key
+
+    img1, hist, count, key = jax.lax.cond(
+        n_steps > 0, run_step0, skip_step0, (img0, k_loop))
+
+    # ---- steps 1..S-1: Adams-Bashforth multistep --------------------------
+    def ab_combine(order_idx, e_t, hist):
+        # hist[0] = most recent, hist[1] older, hist[2] oldest
+        def ab2(_):
+            return (3 * e_t - hist[0]) / 2
+        def ab3(_):
+            return (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12
+        def ab4(_):
+            return (55 * e_t - 59 * hist[0] + 37 * hist[1] - 9 * hist[2]) / 24
+        return jax.lax.switch(order_idx, [ab2, ab3, ab4], None)
+
+    def body(carry, inp):
+        img, hist, count, key = carry
+        i, t, t_next = inp
+
+        def do(_):
+            k1, key2 = jax.random.split(key)
+            e_t = eval_eps(img, t)
+            e_prime = ab_combine(jnp.minimum(count, 3) - 1, e_t, hist)
+            x_prev, _ = _x_prev_from_eps(
+                ddpm, k1, img, tfull(t), tfull(t_next), e_prime)
+            new_hist = jnp.stack([e_t, hist[0], hist[1]])
+            return x_prev, new_hist, jnp.minimum(count + 1, 4), key2
+
+        def skip(_):
+            return img, hist, count, key
+
+        return jax.lax.cond(i < n_steps, do, skip, None), None
+
+    idxs = jnp.arange(1, plms_steps, dtype=jnp.int32)
+    inps = (idxs, t_pairs[1:, 0], t_pairs[1:, 1])
+    (img, _, _, _), _ = jax.lax.scan(body, (img1, hist, count, key), inps)
+
+    if cfg.clip_output:
+        img = jnp.clip(img, -cfg.clip_value, cfg.clip_value)
+    alpha_cumprod = jax.nn.sigmoid(log_snr)
+    return img, x_noisy, init_noise, alpha_cumprod
+
+
+@dataclasses.dataclass(frozen=True)
+class PLMSSampler:
+    """OO convenience mirroring ``external/plms.py:13`` call sites."""
+
+    ddpm: DDPM
+    plms_steps: int = 50
+
+    def sample(self, denoise_fn, rng, image, max_thres, cond_images=None,
+               cond_scale: float = 1.0, return_noise: bool = False):
+        out = plms_sample(self.ddpm, denoise_fn, rng, image, max_thres,
+                          cond_images, cond_scale, self.plms_steps)
+        img, x_noisy, noise, alpha_cumprod = out
+        if not return_noise:
+            return img
+        return img, x_noisy, noise, alpha_cumprod
