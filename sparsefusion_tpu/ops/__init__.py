@@ -1,0 +1,10 @@
+from sparsefusion_tpu.ops.image import (
+    grid_sample_bilinear,
+    resize_bilinear,
+    resize_nearest,
+)
+from sparsefusion_tpu.ops.grid_encode import (
+    GridEncoding,
+    grid_encode,
+    make_grid_encoding,
+)
