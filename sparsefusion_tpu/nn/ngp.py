@@ -1,0 +1,109 @@
+"""Instant-NGP radiance field (tiled-grid encoder + tiny MLP) in Flax.
+
+Re-design of torch-ngp's ``NeRFNetwork`` as configured by SparseFusion
+(``external/nerf/network_grid.py:36-88``, opt in ``distillation.py:500``):
+tiledgrid encoder (16 levels x 2ch, 2^16 table, desired resolution
+2048*bound), a 3-layer MLP(64) to [sigma_raw, albedo_rgb], density
+sigma = trunc_exp(raw + center gaussian blob), sigmoid albedo.
+
+``trunc_exp`` reproduces the reference's clamped-gradient exponential
+(``external/ngp_activation.py:10-23``) via jax.custom_vjp.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sparsefusion_tpu.ops.grid_encode import (
+    GridEncoding,
+    grid_encode_bound,
+    make_grid_encoding,
+)
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPConfig:
+    bound: float = 4.0
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 16
+    gridtype: str = "tiled"
+    num_layers: int = 3
+    hidden_dim: int = 64
+    density_blob_scale: float = 5.0
+    density_blob_std: float = 0.2
+
+    def encoding(self) -> GridEncoding:
+        return make_grid_encoding(
+            input_dim=3, num_levels=self.num_levels,
+            level_dim=self.level_dim, base_resolution=self.base_resolution,
+            log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=int(2048 * self.bound),
+            gridtype=self.gridtype)
+
+
+class NGPField(nn.Module):
+    """Density + albedo field over [-bound, bound]^3."""
+
+    config: NGPConfig = NGPConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self._enc = cfg.encoding()
+        self.grid = self.param(
+            "grid",
+            lambda key: jax.random.uniform(
+                key, (self._enc.total_params, cfg.level_dim),
+                minval=-1e-4, maxval=1e-4))
+        self.mlp = [
+            nn.Dense(cfg.hidden_dim if i < cfg.num_layers - 1 else 4,
+                     dtype=self.dtype, name=f"sigma_net_{i}")
+            for i in range(cfg.num_layers)
+        ]
+
+    def density_blob(self, x):
+        """Center gaussian prior on sigma (``network_grid.py:69-75``)."""
+        cfg = self.config
+        d = jnp.sum(x ** 2, axis=-1)
+        return cfg.density_blob_scale * jnp.exp(
+            -d / (2 * cfg.density_blob_std ** 2))
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (..., 3) in [-bound, bound] -> (sigma (...,), albedo (..., 3))."""
+        cfg = self.config
+        h = grid_encode_bound(x, self.grid, self._enc, bound=cfg.bound)
+        h = h.astype(self.dtype)
+        for i, layer in enumerate(self.mlp):
+            h = layer(h)
+            if i < cfg.num_layers - 1:
+                h = jax.nn.relu(h)
+        h = h.astype(jnp.float32)
+        sigma = trunc_exp(h[..., 0] + self.density_blob(x))
+        albedo = jax.nn.sigmoid(h[..., 1:])
+        return sigma, albedo
+
+    def density(self, x):
+        sigma, albedo = self(x)
+        return {"sigma": sigma, "albedo": albedo}
