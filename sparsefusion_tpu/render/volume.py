@@ -1,0 +1,223 @@
+"""NGP volume renderer: stratified + importance sampling, fixed shapes.
+
+TPU-native re-design of torch-ngp's PyTorch render path — the one the demo
+actually uses since ``opt.cuda_ray=False`` (``external/nerf/renderer_df.py:
+310-468``, ``sample_pdf`` :15-49, opts ``distillation.py:500-526``):
+
+* slab-test near/far against the [-bound, bound]^3 AABB with min_near
+  clamping and miss -> (1e10, 1e10) (``raymarching.cu:92-146`` semantics),
+* 64 stratified z-values (optionally perturbed), field eval, importance
+  re-sampling of 64 more via inverse-CDF on detached weights,
+* merge-sort of the two sample sets and a single alpha-composite.
+
+Unlike the reference (which re-evaluates the field on all points a second
+time for shading, ``renderer_df.py:424``) we evaluate each point exactly
+once — identical math for the albedo shading mode SparseFusion uses, half
+the FLOPs.  All shapes are static: (N_rays, T) with T = num_steps +
+upsample_steps, so the whole render jits into one XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VolumeRendererConfig:
+    """Defaults mirror ``get_default_torch_ngp_opt`` (distillation.py:500)."""
+
+    num_steps: int = 64
+    upsample_steps: int = 64
+    bound: float = 4.0
+    min_near: float = 0.1
+    density_thresh: float = 10.0
+    max_ray_batch: int = 4096
+
+
+_MISS = 1e10
+
+
+def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       bound: float, min_near: float = 0.1):
+    """Slab intersection with the cube [-bound, bound]^3.
+
+    Returns (nears, fars) of shape (N,); misses get (1e10, 1e10).
+    """
+    inv_d = 1.0 / rays_d
+    t0 = (-bound - rays_o) * inv_d
+    t1 = (bound - rays_o) * inv_d
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    near = jnp.max(tmin, axis=-1)
+    far = jnp.min(tmax, axis=-1)
+    miss = near > far
+    near = jnp.maximum(near, min_near)
+    near = jnp.where(miss, _MISS, near)
+    far = jnp.where(miss, _MISS, far)
+    return near, far
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               det: bool, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Inverse-CDF sampling (NeRF importance sampling, renderer_df.py:15).
+
+    Args:
+        bins: (N, T) z-value bin edges.
+        weights: (N, T-1) bin weights.
+
+    Returns:
+        (N, n_samples) new z values.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples))
+
+    inds = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def _composite(sigmas: jnp.ndarray, rgbs: jnp.ndarray, z_vals: jnp.ndarray,
+               sample_dist: jnp.ndarray):
+    """Alpha compositing (renderer_df.py:414-418). Returns (weights, wsum)."""
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)],
+        axis=-1)
+    alphas = 1.0 - jnp.exp(-deltas * sigmas)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-15], axis=-1)
+    weights = alphas * jnp.cumprod(shifted, axis=-1)[..., :-1]
+    return weights, jnp.sum(weights, axis=-1)
+
+
+def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                cfg: VolumeRendererConfig,
+                rng: Optional[jax.Array] = None,
+                perturb: bool = False,
+                det_importance: bool = False,
+                bg_color: float = 0.0):
+    """Render a flat batch of rays.
+
+    Args:
+        field_fn: (P, 3) -> (sigma (P,), albedo (P, 3)).
+        rays_o, rays_d: (N, 3) world rays.
+        rng: required if perturb or not det_importance.
+
+    Returns:
+        dict(image (N,3), depth (N,), weights_sum (N,), mask (N,)).
+    """
+    n = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    nears_c = nears[:, None]
+    fars_c = fars[:, None]
+    sample_dist = (fars_c - nears_c) / cfg.num_steps
+
+    z = jnp.linspace(0.0, 1.0, cfg.num_steps)
+    z_vals = nears_c + (fars_c - nears_c) * z[None, :]
+    if perturb:
+        rng, k = jax.random.split(rng)
+        z_vals = z_vals + (jax.random.uniform(k, z_vals.shape) - 0.5) \
+            * sample_dist
+
+    def pts(zv):
+        p = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        return jnp.clip(p, -cfg.bound, cfg.bound)
+
+    xyz1 = pts(z_vals)
+    sigma1, rgb1 = field_fn(xyz1.reshape(-1, 3))
+    sigma1 = sigma1.reshape(n, cfg.num_steps)
+    rgb1 = rgb1.reshape(n, cfg.num_steps, 3)
+
+    if cfg.upsample_steps > 0:
+        # importance sampling on detached first-pass weights
+        w_det, _ = _composite(jax.lax.stop_gradient(sigma1), rgb1,
+                              jax.lax.stop_gradient(z_vals),
+                              jax.lax.stop_gradient(sample_dist))
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        z_mid = z_vals[..., :-1] + 0.5 * deltas
+        if not det_importance:
+            rng, k = jax.random.split(rng)
+        else:
+            k = None
+        new_z = sample_pdf(jax.lax.stop_gradient(z_mid), w_det[:, 1:-1],
+                           cfg.upsample_steps, det=det_importance, rng=k)
+        new_z = jax.lax.stop_gradient(new_z)
+
+        xyz2 = pts(new_z)
+        sigma2, rgb2 = field_fn(xyz2.reshape(-1, 3))
+        sigma2 = sigma2.reshape(n, cfg.upsample_steps)
+        rgb2 = rgb2.reshape(n, cfg.upsample_steps, 3)
+
+        z_vals = jnp.concatenate([z_vals, new_z], axis=-1)
+        order = jnp.argsort(z_vals, axis=-1)
+        z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
+        sigmas = jnp.take_along_axis(
+            jnp.concatenate([sigma1, sigma2], axis=-1), order, axis=-1)
+        rgbs = jnp.take_along_axis(
+            jnp.concatenate([rgb1, rgb2], axis=1), order[..., None], axis=1)
+    else:
+        sigmas, rgbs = sigma1, rgb1
+
+    weights, weights_sum = _composite(sigmas, rgbs, z_vals, sample_dist)
+
+    ori_z = jnp.clip((z_vals - nears_c) / (fars_c - nears_c), 0.0, 1.0)
+    depth = jnp.sum(weights * ori_z, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    image = image + (1.0 - weights_sum)[..., None] * bg_color
+
+    return {
+        "image": image,
+        "depth": depth,
+        "weights_sum": weights_sum,
+        "mask": nears < fars,
+    }
+
+
+def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
+                        rays_d: jnp.ndarray, cfg: VolumeRendererConfig,
+                        rng: Optional[jax.Array] = None,
+                        perturb: bool = False,
+                        det_importance: bool = True,
+                        bg_color: float = 0.0):
+    """Memory-staged rendering via lax.map over max_ray_batch chunks
+    (replaces ``renderer_df.py:643-679`` staged path)."""
+    n = rays_o.shape[0]
+    chunk = min(cfg.max_ray_batch, n)
+    assert n % chunk == 0, (n, chunk)
+    n_chunks = n // chunk
+    o = rays_o.reshape(n_chunks, chunk, 3)
+    d = rays_d.reshape(n_chunks, chunk, 3)
+    if rng is None:
+        rngs = jnp.zeros((n_chunks, 2), jnp.uint32)
+    else:
+        rngs = jax.random.split(rng, n_chunks)
+
+    def body(args):
+        oo, dd, kk = args
+        return render_rays(field_fn, oo, dd, cfg, kk, perturb,
+                           det_importance, bg_color)
+
+    out = jax.lax.map(body, (o, d, rngs))
+    return {k: v.reshape(n, *v.shape[2:]) for k, v in out.items()}
