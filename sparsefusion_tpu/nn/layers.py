@@ -89,10 +89,12 @@ class Attention(nn.Module):
         v = jnp.concatenate([nv.astype(self.dtype), v], axis=1)
 
         if context is not None:
-            ctx = LayerNorm(self.context_dim, dtype=self.dtype,
-                            name="context_norm")(context)
+            # torch: Sequential(nn.LayerNorm(ctx_dim), Linear) — standard
+            # LayerNorm *with* bias (imagen_pytorch.py:504)
+            ctx = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="context_norm")(context)
             ckv = nn.Dense(2 * self.dim_head, dtype=self.dtype,
-                           name="to_context")(ctx)
+                           name="to_context")(ctx.astype(self.dtype))
             ck, cv = jnp.split(ckv, 2, axis=-1)
             k = jnp.concatenate([ck, k], axis=1)
             v = jnp.concatenate([cv, v], axis=1)
@@ -122,6 +124,8 @@ class CrossAttention(nn.Module):
         scale = self.dim_head ** -0.5
 
         x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        # norm_context defaults to Identity in every SF use
+        # (imagen_pytorch.py:739,753)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype,
                       name="to_kv")(context)

@@ -120,7 +120,9 @@ class EfficientUNet(nn.Module):
         t = nn.Dense(cfg.time_cond_dim, dtype=dt, name="to_time_cond")(
             time_hiddens)
 
-        c = LayerNorm(cfg.cond_dim, dtype=dt, name="norm_cond")(time_tokens)
+        # torch uses nn.LayerNorm (with bias) here (imagen_pytorch.py:1214)
+        c = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm_cond")(time_tokens).astype(dt)
 
         # ---- down path -----------------------------------------------------
         dims = [cfg.dim] + [cfg.dim * m for m in cfg.dim_mults]

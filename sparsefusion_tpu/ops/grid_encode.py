@@ -140,47 +140,45 @@ def grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
 
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # (B,)
 
-    scales = jnp.asarray(enc.scales)                     # (L,)
-    pos = x01[None, :, :] * scales[:, None, None] + 0.5  # (L, B, D)
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    pos_grid = pos_grid.astype(jnp.uint32)
-
     bits = jnp.asarray(_corner_bits(D))                  # (K, D), K=2^D
-    K = bits.shape[0]
-    corners = pos_grid[:, :, None, :] + bits[None, None, :, :]  # (L,B,K,D)
-
-    # trilinear weights: prod_d (bit ? frac : 1-frac)
-    w = jnp.where(bits[None, None].astype(bool), frac[:, :, None, :],
-                  1.0 - frac[:, :, None, :])
-    w = jnp.prod(w, axis=-1)                             # (L, B, K)
-
-    # stride-based (tiled / small hash levels) index
-    strides = jnp.asarray(enc.strides)                   # (L, D) uint32
-    idx_stride = jnp.sum(corners * strides[:, None, None, :], axis=-1,
-                         dtype=jnp.uint32)               # (L, B, K)
-    # hash index
+    bits_bool = bits.astype(bool)
     primes = jnp.asarray(_PRIMES[:D])
-    idx_hash = corners[..., 0] * primes[0]
-    for d in range(1, D):
-        idx_hash = jnp.bitwise_xor(idx_hash, corners[..., d] * primes[d])
+    level_sizes = (enc.offsets[1:] - enc.offsets[:-1]).astype(np.uint32)
 
-    use_hash = jnp.asarray(enc.use_hash)[:, None, None]  # (L,1,1)
-    index = jnp.where(use_hash, idx_hash, idx_stride)
+    # Static unroll over levels keeps the peak intermediate at (B, K, C)
+    # instead of (L, B, K, C) — the difference between fitting a 2M-point
+    # render in HBM or not.
+    outs = []
+    for lvl in range(L):
+        pos = x01 * float(enc.scales[lvl]) + 0.5         # (B, D)
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        pos_grid = pos_grid.astype(jnp.uint32)
+        corners = pos_grid[:, None, :] + bits[None, :, :]   # (B, K, D)
 
-    level_sizes = jnp.asarray(
-        (enc.offsets[1:] - enc.offsets[:-1]).astype(np.uint32))
-    index = index % level_sizes[:, None, None]
-    flat_index = index.astype(jnp.int32) \
-        + jnp.asarray(enc.offsets[:-1], np.int32)[:, None, None]
+        w = jnp.where(bits_bool[None], frac[:, None, :],
+                      1.0 - frac[:, None, :])
+        w = jnp.prod(w, axis=-1)                         # (B, K)
 
-    vals = jnp.take(table, flat_index.reshape(-1), axis=0)
-    vals = vals.reshape(L, B, K, C)
-    out = jnp.sum(vals * w[..., None].astype(table.dtype), axis=2)  # (L,B,C)
+        if bool(enc.use_hash[lvl]):
+            index = corners[..., 0] * primes[0]
+            for d in range(1, D):
+                index = jnp.bitwise_xor(index, corners[..., d] * primes[d])
+        else:
+            strides = jnp.asarray(enc.strides[lvl])      # (D,) uint32
+            index = jnp.sum(corners * strides[None, None, :], axis=-1,
+                            dtype=jnp.uint32)
 
-    out = jnp.where(oob[None, :, None], 0.0, out)
+        index = index % jnp.uint32(level_sizes[lvl])
+        flat_index = index.astype(jnp.int32) + jnp.int32(enc.offsets[lvl])
+        vals = jnp.take(table, flat_index.reshape(-1), axis=0)
+        vals = vals.reshape(B, bits.shape[0], C)
+        outs.append(jnp.sum(vals * w[..., None].astype(table.dtype), axis=1))
+
+    out = jnp.stack(outs, axis=1)                        # (B, L, C)
+    out = jnp.where(oob[:, None, None], 0.0, out)
     # [B, L*C] level-major per point (matches grid.py:52 permute/reshape)
-    return jnp.transpose(out, (1, 0, 2)).reshape(B, L * C)
+    return out.reshape(B, L * C)
 
 
 def grid_encode_bound(x: jnp.ndarray, table: jnp.ndarray, enc: GridEncoding,

@@ -200,9 +200,17 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
                         rng: Optional[jax.Array] = None,
                         perturb: bool = False,
                         det_importance: bool = True,
-                        bg_color: float = 0.0):
+                        bg_color: float = 0.0,
+                        remat: bool = False):
     """Memory-staged rendering via lax.map over max_ray_batch chunks
-    (replaces ``renderer_df.py:643-679`` staged path)."""
+    (replaces ``renderer_df.py:643-679`` staged path).
+
+    With ``remat=True`` each chunk body is wrapped in ``jax.checkpoint``
+    so the backward pass re-renders one chunk at a time instead of
+    storing every chunk's field-eval residuals — this is what lets a
+    full 128x128x128-sample render backprop inside one jitted step on a
+    16GB chip.
+    """
     n = rays_o.shape[0]
     chunk = min(cfg.max_ray_batch, n)
     assert n % chunk == 0, (n, chunk)
@@ -218,6 +226,9 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
         oo, dd, kk = args
         return render_rays(field_fn, oo, dd, cfg, kk, perturb,
                            det_importance, bg_color)
+
+    if remat:
+        body = jax.checkpoint(body)
 
     out = jax.lax.map(body, (o, d, rngs))
     return {k: v.reshape(n, *v.shape[2:]) for k, v in out.items()}

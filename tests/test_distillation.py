@@ -1,0 +1,65 @@
+"""End-to-end distillation smoke test on a synthetic scene (tiny models)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsefusion_tpu.data.synthetic import make_synthetic_scene
+from sparsefusion_tpu.diffusion.ddpm import DDPMConfig
+from sparsefusion_tpu.distill.loop import DistillConfig, distillation_loop
+from sparsefusion_tpu.models import build_models
+from sparsefusion_tpu.nn.ngp import NGPConfig
+from sparsefusion_tpu.nn.unet import UNetConfig
+from sparsefusion_tpu.nn.vae import VAEConfig
+
+
+def tiny_models():
+    return build_models(
+        jax.random.PRNGKey(0),
+        latent_size=8,
+        unet_config=UNetConfig(
+            dim=32, dim_mults=(1, 2), num_resnet_blocks=(1, 1),
+            layer_attns=(False, True), layer_cross_attns=(False, False),
+            cond_images_channels=256, attn_heads=2, attn_dim_head=8),
+        vae_config=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1),
+        ddpm_config=DDPMConfig(channels=4, image_size=8, timesteps=100),
+    )
+
+
+@pytest.mark.slow
+def test_distillation_end_to_end(tmp_path):
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=4, image_size=64, seed=0)
+    cfg = DistillConfig(
+        max_itr=4, start_fusion_step=2, n_aug_cameras=2,
+        plms_steps=4, num_steps=8, upsample_steps=8, max_ray_batch=512,
+        ngp=NGPConfig(num_levels=4, log2_hashmap_size=10))
+    out = distillation_loop(models, scene, [0, 1], cfg,
+                            jax.random.PRNGKey(1),
+                            save_dir=str(tmp_path), use_diffusion=True,
+                            verbose=False)
+    assert out["renders"].shape == (4, 64, 64, 3)
+    assert np.all(np.isfinite(out["renders"]))
+    assert len(out["losses"]) == 4
+    assert len(out["fusion_losses"]) == 4
+    assert np.isfinite(out["metrics"]["psnr"])
+    # outputs written
+    assert (tmp_path / "render_gifs" / "synthetic_000.gif").exists()
+    assert (tmp_path / "metrics" / "synthetic_000.txt").exists()
+
+
+@pytest.mark.slow
+def test_distillation_photometric_only_learns(tmp_path):
+    """Without diffusion, a few hundred steps should fit the input views."""
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=3, image_size=32, seed=2)
+    cfg = DistillConfig(
+        max_itr=150, start_fusion_step=10 ** 9, n_aug_cameras=2,
+        num_steps=16, upsample_steps=16, max_ray_batch=256,
+        ngp=NGPConfig(num_levels=6, log2_hashmap_size=12))
+    out = distillation_loop(models, scene, [0, 1, 2], cfg,
+                            jax.random.PRNGKey(1), use_diffusion=False,
+                            verbose=False)
+    # loss decreased and inputs reasonably reconstructed
+    assert np.mean(out["losses"][-10:]) < np.mean(out["losses"][:10])
+    assert out["metrics"]["psnr"] > 14.0

@@ -1,0 +1,91 @@
+"""Training-step tests: single device and 8-device virtual mesh DP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsefusion_tpu.data.synthetic import make_synthetic_scene
+from sparsefusion_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_to_mesh,
+    shard_batch,
+    shard_scene_list,
+)
+from sparsefusion_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizers,
+    make_train_step,
+    prepare_scene_batch,
+)
+from tests.test_distillation import tiny_models
+
+
+def make_batch(models, n_scenes, image_size=64, context_size=2):
+    scenes = [make_synthetic_scene(n_views=5, image_size=image_size, seed=s)
+              for s in range(n_scenes)]
+    query = [0] * n_scenes
+    ctx = [[1, 2][:context_size] for _ in range(n_scenes)]
+    return prepare_scene_batch(scenes, query, ctx)
+
+
+def make_state(models, cfg, tx, eft_tx):
+    return {
+        "unet_params": models.unet_params,
+        "eft_params": models.eft_vars["params"],
+        "opt_state": tx.init(models.unet_params),
+        "eft_opt_state": eft_tx.init(models.eft_vars["params"]),
+    }
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss():
+    models = tiny_models()
+    cfg = TrainConfig(latent_size=8, context_size=2, train_eft=True,
+                      diffusion_batch_size=2, lr=1e-3, eft_lr=1e-4)
+    tx, eft_tx = make_optimizers(cfg)
+    step_fn = make_train_step(models, cfg, tx, eft_tx)
+    state = make_state(models, cfg, tx, eft_tx)
+    batch = make_batch(models, 1)
+
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(12):
+        rng, k = jax.random.split(rng)
+        state, aux = step_fn(state, batch, k)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+@pytest.mark.slow
+def test_train_step_data_parallel_8dev():
+    """Same step on an 8-device mesh: batch sharded, params replicated."""
+    assert len(jax.devices()) == 8
+    models = tiny_models()
+    cfg = TrainConfig(latent_size=8, context_size=2, train_eft=False,
+                      diffusion_batch_size=2)
+    tx, eft_tx = make_optimizers(cfg)
+    mesh = make_mesh()
+    step_fn = make_train_step(models, cfg, tx, eft_tx, mesh=mesh)
+    state = {
+        "unet_params": models.unet_params,
+        "eft_params": models.eft_vars["params"],
+        "opt_state": tx.init(models.unet_params),
+        "eft_opt_state": None,
+    }
+    state = replicate_to_mesh(state, mesh)
+    batch = shard_batch(make_batch(models, 8), mesh)
+
+    state, aux = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    # params stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(state["unet_params"])[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_shard_scene_list():
+    assert shard_scene_list(range(10), 4, 0) == [0, 1, 2]
+    assert shard_scene_list(range(10), 4, 3) == [8, 9]
+    all_shards = sum((shard_scene_list(range(10), 4, i) for i in range(4)),
+                    [])
+    assert all_shards == list(range(10))
