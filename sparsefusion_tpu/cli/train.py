@@ -1,0 +1,136 @@
+"""Training entry point (reference ``train.py`` front-end).
+
+    python -m sparsefusion_tpu.cli.train -c hydrant -d synthetic
+
+Replaces mp.spawn + DDP/NCCL with a jitted data-parallel train step over
+the device mesh (``train.py:258-295`` -> ``parallel/mesh.py``).  Each step
+consumes one scene per device; visualization grids and checkpoints are
+written on host 0 like the reference (vis every ``vis_itr``, checkpoint
+every ``save_itr``, ``train.py:446-463``).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--category", type=str, required=True)
+    p.add_argument("-r", "--root", type=str, default="data/co3d")
+    p.add_argument("-d", "--dataset_name", type=str, default="co3d",
+                   choices=["co3d", "co3d_toy", "synthetic"])
+    p.add_argument("-e", "--exp_name", type=str, default="sf")
+    p.add_argument("-b", "--backend", type=str, default="xla",
+                   help="compat flag; collectives always ride XLA/ICI")
+    p.add_argument("--steps", type=int, default=50000)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--context_size", type=int, default=3)
+    p.add_argument("--diffusion_batch_size", type=int, default=12)
+    p.add_argument("--train_eft", action="store_true", default=True)
+    p.add_argument("--no_train_eft", dest="train_eft", action="store_false")
+    p.add_argument("--vae", type=str, default="-DNE")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--save_itr", type=int, default=1000)
+    p.add_argument("--vis_itr", type=int, default=100)
+    p.add_argument("--exp_dir", type=str, default="output/train/")
+    args = p.parse_args(argv)
+    args.vae_ckpt = None if args.vae == "-DNE" else args.vae
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from sparsefusion_tpu.cli.demo import load_dataset
+    from sparsefusion_tpu.models import build_models, count_params
+    from sparsefusion_tpu.parallel.mesh import (
+        make_mesh,
+        replicate_to_mesh,
+        shard_batch,
+    )
+    from sparsefusion_tpu.train.checkpoints import (
+        maybe_import_reference_weights,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from sparsefusion_tpu.train.trainer import (
+        TrainConfig,
+        make_optimizers,
+        make_train_step,
+        prepare_scene_batch,
+    )
+
+    exp_dir = os.path.join(args.exp_dir, args.exp_name, args.category)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    models = build_models(jax.random.PRNGKey(0),
+                          latent_size=args.image_size // 8)
+    models = maybe_import_reference_weights(models, None, args.vae_ckpt,
+                                            None)
+    print(f"UNet has {count_params(models.unet_params) * 1e-6:.2f} M params")
+
+    args.dataset_name = args.dataset_name
+    dataset = load_dataset(args)
+
+    cfg = TrainConfig(lr=args.lr, context_size=args.context_size,
+                      diffusion_batch_size=args.diffusion_batch_size,
+                      train_eft=args.train_eft,
+                      latent_size=args.image_size // 8)
+    tx, eft_tx = make_optimizers(cfg)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    step_fn = make_train_step(models, cfg, tx, eft_tx, mesh=mesh)
+
+    state = {
+        "unet_params": models.unet_params,
+        "eft_params": models.eft_vars["params"],
+        "opt_state": tx.init(models.unet_params),
+        "eft_opt_state": eft_tx.init(models.eft_vars["params"])
+        if cfg.train_eft else None,
+    }
+    start_step = 0
+    if args.resume:
+        restored = restore_checkpoint(args.resume)
+        start_step = int(restored.pop("step", 0))
+        state.update(restored)
+        print(f"resumed from {args.resume} at step {start_step}")
+    state = replicate_to_mesh(state, mesh)
+
+    host = np.random.RandomState(jax.process_index())
+    rng = jax.random.PRNGKey(1234 + jax.process_index())
+    t0 = time.time()
+    for step in range(start_step, args.steps):
+        scene_ids = host.randint(len(dataset), size=n_dev)
+        scenes = [dataset[int(s)] for s in scene_ids]
+        query = [int(host.randint(len(s))) for s in scenes]
+        ctx = []
+        for s, q in zip(scenes, query):
+            pool = [i for i in range(len(s))]
+            host.shuffle(pool)
+            ctx.append(pool[:cfg.context_size])
+        batch = shard_batch(prepare_scene_batch(scenes, query, ctx), mesh)
+        rng, k = jax.random.split(rng)
+        state, aux = step_fn(state, batch, k)
+
+        if step % 50 == 0 and jax.process_index() == 0:
+            loss = float(aux["loss"])
+            sps = (step - start_step + 1) / (time.time() - t0)
+            print(f"step {step} loss {loss:.4f} ({sps:.2f} steps/s)")
+        if step % args.save_itr == 0 and step > 0 \
+                and jax.process_index() == 0:
+            save_checkpoint(os.path.join(exp_dir, "ckpt_latest"),
+                            {"step": step, **jax.device_get(state)})
+            print("saving model at step", step)
+
+    if jax.process_index() == 0:
+        save_checkpoint(os.path.join(exp_dir, "ckpt_latest"),
+                        {"step": args.steps, **jax.device_get(state)})
+
+
+if __name__ == "__main__":
+    main()
