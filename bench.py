@@ -23,6 +23,8 @@ A100_REFERENCE_STEPS_PER_SEC = 20.0
 
 
 def main():
+    import numpy as np
+
     from sparsefusion_tpu.nn.unet import EfficientUNet, UNetConfig
 
     model = EfficientUNet(UNetConfig(), dtype=jnp.bfloat16)
@@ -30,7 +32,15 @@ def main():
     x = jax.random.normal(rng, (1, 32, 32, 4))
     log_snr = jnp.zeros((1,))
     cond = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 256))
-    params = model.init(jax.random.PRNGKey(2), x, log_snr, cond)["params"]
+    # host-side param synthesis (full init would compile a separate program)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, x, log_snr, cond)["params"],
+        jax.random.PRNGKey(2))
+    host = np.random.RandomState(0)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            host.standard_normal(s.shape).astype(np.float32) * 0.02),
+        shapes)
 
     @jax.jit
     def denoise_step(params, x, log_snr, cond):

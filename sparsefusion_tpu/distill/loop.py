@@ -135,6 +135,7 @@ def distillation_loop(
     save_dir: Optional[str] = None,
     use_diffusion: bool = True,
     verbose: bool = True,
+    lpips_fn=None,
 ) -> Dict[str, Any]:
     """Optimize an NGP for one scene; returns params + metrics + renders."""
     image_size = scene.images.shape[1]
@@ -273,6 +274,11 @@ def distillation_loop(
         fusion_weight = jax.lax.stop_gradient(1.0 - alpha_cumprod[0])
 
         loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
+        if lpips_fn is not None and cfg.lambda_percep > 0:
+            # perceptual term active after start_fusion_step
+            # (distillation.py:176-178, 312-314); grads flow through img
+            loss += cfg.lambda_percep * jnp.mean(
+                lpips_fn(img[None], pred_img[None]))
         loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
         return loss, pred_img
 
