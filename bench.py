@@ -43,21 +43,18 @@ def main():
         shapes)
 
     @jax.jit
-    def denoise_step(params, x, log_snr, cond):
-        return model.apply({"params": params}, x, log_snr, cond)
+    def denoise_step(z):
+        return model.apply({"params": params}, z, log_snr, cond)
 
-    # compile + warm up
-    out = denoise_step(params, x, log_snr, cond)
-    out.block_until_ready()
+    # block_until_ready is unreliable through the axon relay; use chained
+    # iterations + dependent scalar fetch with two-point timing
+    # (see benchmarks/timing.py)
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.timing import timeit
 
-    n_iters = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = denoise_step(params, out, log_snr, cond)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_iters / dt
+    dt = timeit(denoise_step, x, n1=10, n2=60)
+    steps_per_sec = 1.0 / dt
     print(json.dumps({
         "metric": "vldm_denoise_steps_per_sec",
         "value": round(steps_per_sec, 2),

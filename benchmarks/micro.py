@@ -1,12 +1,11 @@
 """Micro-benchmarks for the hot ops (run on TPU; prints one line each).
 
-    python benchmarks/micro.py [grid|render|unet|all]
+    python benchmarks/micro.py [grid|render|unet|matmul|all]
 """
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -14,25 +13,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.timing import timeit
 
-def timeit(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    return (time.perf_counter() - t0) / iters
+
+def bench_matmul():
+    x = jnp.ones((8192, 8192), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    dt = timeit(f, x)
+    print(f"matmul 8k bf16: {dt*1e3:.2f} ms -> "
+          f"{2 * 8192**3 / dt / 1e12:.1f} TFLOP/s")
 
 
 def bench_grid_encode():
     from sparsefusion_tpu.nn.ngp import NGPConfig
-    from sparsefusion_tpu.ops.grid_encode import grid_encode_bound, init_grid_params
+    from sparsefusion_tpu.ops.grid_encode import (
+        grid_encode_bound,
+        init_grid_params,
+    )
 
     enc = NGPConfig().encoding()
     table = init_grid_params(jax.random.PRNGKey(0), enc)
@@ -40,14 +37,17 @@ def bench_grid_encode():
     x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-4,
                            maxval=4)
 
-    f = jax.jit(lambda x, t: grid_encode_bound(x, t, enc, bound=4.0))
-    dt = timeit(f, x, table)
-    print(f"grid_encode fwd: {n / dt / 1e6:.1f} Mpts/s  ({dt*1e3:.2f} ms "
+    f = jax.jit(lambda t: grid_encode_bound(x, t, enc, bound=4.0))
+    # chain through the table to serialize iterations
+    step = jax.jit(
+        lambda t: t + 1e-12 * jnp.sum(grid_encode_bound(x, t, enc, 4.0)))
+    dt = timeit(step, table)
+    print(f"grid_encode fwd: {n / dt / 1e6:.1f} Mpts/s ({dt*1e3:.2f} ms "
           f"for {n} pts)")
 
-    g = jax.jit(jax.grad(
-        lambda t, x: grid_encode_bound(x, t, enc, bound=4.0).sum()))
-    dt = timeit(g, table, x)
+    gstep = jax.jit(lambda t: t - 1e-12 * jax.grad(
+        lambda tt: grid_encode_bound(x, tt, enc, 4.0).sum())(t))
+    dt = timeit(gstep, table, n1=3, n2=13)
     print(f"grid_encode fwd+bwd: {n / dt / 1e6:.1f} Mpts/s ({dt*1e3:.2f} ms)")
 
 
@@ -66,21 +66,22 @@ def bench_render():
         + jnp.array([0.0, 0.0, 1.0])
     cfg = VolumeRendererConfig()
 
-    def fwd(params, o, d, key):
+    def render(params):
         field = lambda x: model.apply({"params": params}, x)
-        return render_rays_chunked(field, o, d, cfg, key, perturb=True,
-                                   det_importance=False, remat=True)["image"]
+        return render_rays_chunked(field, o, d, cfg, jax.random.PRNGKey(2),
+                                   perturb=True, det_importance=False,
+                                   remat=True)["image"]
 
-    f = jax.jit(fwd)
-    dt = timeit(f, params, o, d, jax.random.PRNGKey(2), iters=10)
+    step = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda q: q + 1e-12 * jnp.sum(render(p)), p))
+    dt = timeit(step, params, n1=2, n2=8)
     print(f"ngp render fwd: {n_rays / dt / 1e6:.2f} Mrays/s ({dt*1e3:.1f} ms"
           f" for 128x128 @ 64+64 samples)")
 
-    def loss(params, o, d, key):
-        return fwd(params, o, d, key).mean()
-
-    g = jax.jit(jax.grad(loss))
-    dt = timeit(g, params, o, d, jax.random.PRNGKey(2), iters=10)
+    gstep = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda a, b: a - 1e-12 * b, p,
+        jax.grad(lambda q: render(q).mean())(p)))
+    dt = timeit(gstep, params, n1=2, n2=8)
     print(f"ngp render fwd+bwd: {n_rays / dt / 1e6:.2f} Mrays/s "
           f"({dt*1e3:.1f} ms)")
 
@@ -100,14 +101,17 @@ def bench_unet():
         lambda s: jnp.asarray(
             host.standard_normal(s.shape).astype(np.float32) * 0.02),
         shapes)
-    f = jax.jit(lambda p, x: model.apply({"params": p}, x, log_snr, cond))
-    dt = timeit(f, params, x)
-    print(f"unet denoise: {1 / dt:.1f} steps/s ({dt*1e3:.1f} ms/step, "
+    step = jax.jit(
+        lambda z: model.apply({"params": params}, z, log_snr, cond))
+    dt = timeit(step, x)
+    print(f"unet denoise: {1 / dt:.1f} steps/s ({dt*1e3:.2f} ms/step, "
           f"batch 1, 32x32x4, bf16)")
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("matmul", "all"):
+        bench_matmul()
     if which in ("grid", "all"):
         bench_grid_encode()
     if which in ("render", "all"):

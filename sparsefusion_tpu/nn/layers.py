@@ -197,6 +197,101 @@ class TransformerBlock(nn.Module):
         return x
 
 
+def FeedForward(dim: int, mult: float = 4.0, dtype=jnp.float32,
+                name: str = "ff"):
+    """Token feedforward (imagen_pytorch.py:943-951) as a Module factory."""
+
+    class _FF(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            hidden = int(dim * mult)
+            x = LayerNorm(dim, dtype=dtype, name="norm_in")(x)
+            x = nn.Dense(hidden, use_bias=False, dtype=dtype, name="in")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            x = LayerNorm(hidden, dtype=dtype, name="norm_mid")(x)
+            return nn.Dense(dim, use_bias=False, dtype=dtype, name="out")(x)
+
+    return _FF(name=name)
+
+
+class PerceiverAttention(nn.Module):
+    """Latent-query attention over tokens+latents (imagen:357-422)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, latents):
+        b = x.shape[0]
+        inner = self.dim_head * self.heads
+        scale = self.dim_head ** -0.5
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        latents = nn.LayerNorm(epsilon=1e-5, name="norm_latents")(latents)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="to_q")(latents)
+        kv_in = jnp.concatenate([x, latents], axis=-2)
+        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype,
+                      name="to_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, -1, self.heads, self.dim_head)
+
+        q, k, v = map(split_heads, (q, k, v))
+        sim = jnp.einsum("bnhd,bjhd->bhnj", q * scale, k)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhnj,bjhd->bnhd", attn.astype(self.dtype), v)
+        out = out.reshape(b, -1, inner)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
+        return nn.LayerNorm(epsilon=1e-5, name="out_norm")(out)
+
+
+class PerceiverResampler(nn.Module):
+    """Attention pooling of conditioning tokens (imagen:424-476); part of
+    the imagen block inventory — unused in the SparseFusion config
+    (attn_pool_text=False) but provided for other model families."""
+
+    dim: int
+    depth: int = 2
+    dim_head: int = 64
+    heads: int = 8
+    num_latents: int = 64
+    num_latents_mean_pooled: int = 4
+    max_seq_len: int = 512
+    ff_mult: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        pos = self.param("pos_emb", nn.initializers.normal(1.0),
+                         (self.max_seq_len, self.dim), jnp.float32)
+        x = x + pos[:n]
+        latents = self.param("latents", nn.initializers.normal(1.0),
+                             (self.num_latents, self.dim), jnp.float32)
+        latents = jnp.broadcast_to(latents[None], (b, *latents.shape))
+        latents = latents.astype(self.dtype)
+        if self.num_latents_mean_pooled > 0:
+            pooled = jnp.mean(x, axis=1)
+            pooled = LayerNorm(self.dim, dtype=self.dtype,
+                               name="pool_norm")(pooled)
+            pooled = nn.Dense(self.dim * self.num_latents_mean_pooled,
+                              dtype=self.dtype, name="pool_proj")(pooled)
+            pooled = pooled.reshape(b, self.num_latents_mean_pooled,
+                                    self.dim)
+            latents = jnp.concatenate([pooled, latents], axis=-2)
+        for i in range(self.depth):
+            latents = PerceiverAttention(
+                self.dim, self.dim_head, self.heads, dtype=self.dtype,
+                name=f"attn_{i}")(x, latents) + latents
+            latents = FeedForward(self.dim, self.ff_mult, dtype=self.dtype,
+                                  name=f"ff_{i}")(latents) + latents
+        return latents
+
+
 class GlobalContext(nn.Module):
     """Squeeze-excite-style gating (imagen_pytorch.py:916-941)."""
 

@@ -41,6 +41,38 @@ def _trunc_exp_bwd(x, g):
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
 
 
+def freq_encode(x: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Classic NeRF frequency encoding: [x, sin/cos(2^i x) ...].
+
+    Equivalent of the reference ``FreqEncoder`` (``external/ngp_encoder.py:
+    10-47``); output dim = D * (1 + 2 * degree).
+    """
+    outs = [x]
+    for i in range(degree):
+        f = (2.0 ** i) * x
+        outs.append(jnp.sin(f))
+        outs.append(jnp.cos(f))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def get_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
+                **grid_kwargs):
+    """Encoder factory (``external/ngp_encoder.py:50-78``).
+
+    Returns (encode_info, output_dim): for grid types an encoding config
+    (pair with a table param), for 'frequency' a pure function.
+    """
+    if encoding == "frequency":
+        return (lambda x: freq_encode(x, degree)), input_dim * (1 + 2 * degree)
+    if encoding in ("hashgrid", "tiledgrid"):
+        gridtype = "hash" if encoding == "hashgrid" else "tiled"
+        enc = make_grid_encoding(input_dim=input_dim, gridtype=gridtype,
+                                 **grid_kwargs)
+        return enc, enc.output_dim
+    raise NotImplementedError(
+        f"unknown encoding {encoding} (frequency|hashgrid|tiledgrid)")
+
+
 @dataclasses.dataclass(frozen=True)
 class NGPConfig:
     bound: float = 4.0
@@ -53,6 +85,10 @@ class NGPConfig:
     hidden_dim: int = 64
     density_blob_scale: float = 5.0
     density_blob_std: float = 0.2
+    bg_radius: float = 0.0   # > 0 enables the background net
+    num_layers_bg: int = 2
+    hidden_dim_bg: int = 64
+    bg_freq_degree: int = 4
 
     def encoding(self) -> GridEncoding:
         return make_grid_encoding(
@@ -82,6 +118,13 @@ class NGPField(nn.Module):
                      dtype=self.dtype, name=f"sigma_net_{i}")
             for i in range(cfg.num_layers)
         ]
+        if cfg.bg_radius > 0:
+            self.bg_net = [
+                nn.Dense(cfg.hidden_dim_bg
+                         if i < cfg.num_layers_bg - 1 else 3,
+                         dtype=self.dtype, name=f"bg_net_{i}")
+                for i in range(cfg.num_layers_bg)
+            ]
 
     def density_blob(self, x):
         """Center gaussian prior on sigma (``network_grid.py:69-75``)."""
@@ -107,3 +150,20 @@ class NGPField(nn.Module):
     def density(self, x):
         sigma, albedo = self(x)
         return {"sigma": sigma, "albedo": albedo}
+
+    def init_all(self, x: jnp.ndarray) -> None:
+        """Init helper touching every submodule (incl. the bg net)."""
+        self(x)
+        if self.config.bg_radius > 0:
+            self.background(x)
+
+    def background(self, d: jnp.ndarray) -> jnp.ndarray:
+        """View-direction background color (``network_grid.py:211-220``)."""
+        cfg = self.config
+        assert cfg.bg_radius > 0, "background net disabled (bg_radius=0)"
+        h = freq_encode(d, cfg.bg_freq_degree).astype(self.dtype)
+        for i, layer in enumerate(self.bg_net):
+            h = layer(h)
+            if i < cfg.num_layers_bg - 1:
+                h = jax.nn.relu(h)
+        return jax.nn.sigmoid(h.astype(jnp.float32))
