@@ -99,6 +99,9 @@ def load_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from sparsefusion_tpu.cli.check_args import check_args
+
+    check_args(args)
     from sparsefusion_tpu.distill.loop import DistillConfig, distillation_loop
     from sparsefusion_tpu.models import build_models
     from sparsefusion_tpu.parallel.mesh import shard_scene_list

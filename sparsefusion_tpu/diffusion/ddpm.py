@@ -171,6 +171,18 @@ class DDPM:
             img = jnp.clip(img, -self.config.clip_value, self.config.clip_value)
         return img
 
+    def sample(self, denoise_fn: DenoiseFn, rng: jax.Array,
+               cond_images: Optional[jnp.ndarray] = None,
+               batch_size: int = 1, cond_scale: float = 1.0) -> jnp.ndarray:
+        """Top-level sampling entry (``vldm.py:445-555`` single-unet path):
+        full ancestral chain conditioned on an EFT feature image."""
+        if cond_images is not None:
+            batch_size = cond_images.shape[0]
+        shape = (batch_size, self.config.image_size, self.config.image_size,
+                 self.config.channels)
+        return self.p_sample_loop(denoise_fn, rng, shape, cond_images,
+                                  cond_scale)
+
     # ------------------------------------------------- one-step distillation
     def forward_noloss(self, denoise_fn: DenoiseFn, rng: jax.Array,
                        images: jnp.ndarray,
