@@ -24,31 +24,41 @@ def bench_matmul():
           f"{2 * 8192**3 / dt / 1e12:.1f} TFLOP/s")
 
 
-def bench_grid_encode():
+def bench_grid_encode(n = 2_097_152, reference_path: bool = False):
     from sparsefusion_tpu.nn.ngp import NGPConfig
     from sparsefusion_tpu.ops.grid_encode import (
         grid_encode_bound,
         init_grid_params,
     )
+    from sparsefusion_tpu.ops.grid_encode_blocked import (
+        blocked_grid_encode_bound,
+        make_blocked_encoding,
+    )
 
     enc = NGPConfig().encoding()
+    blk = make_blocked_encoding(enc)
     table = init_grid_params(jax.random.PRNGKey(0), enc)
-    n = 2_097_152  # 128x128 rays x 128 samples
     x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-4,
                            maxval=4)
 
-    f = jax.jit(lambda t: grid_encode_bound(x, t, enc, bound=4.0))
-    # chain through the table to serialize iterations
-    step = jax.jit(
-        lambda t: t + 1e-12 * jnp.sum(grid_encode_bound(x, t, enc, 4.0)))
-    dt = timeit(step, table)
-    print(f"grid_encode fwd: {n / dt / 1e6:.1f} Mpts/s ({dt*1e3:.2f} ms "
-          f"for {n} pts)")
+    if reference_path:
+        step = jax.jit(
+            lambda t: t + 1e-12 * jnp.sum(grid_encode_bound(x, t, enc, 4.0)))
+        dt = timeit(step, table, n1=2, n2=6)
+        print(f"grid_encode (per-corner) fwd: {n / dt / 1e6:.1f} Mpts/s "
+              f"({dt*1e3:.2f} ms for {n} pts)")
+
+    bstep = jax.jit(lambda t: t + 1e-12 * jnp.sum(
+        blocked_grid_encode_bound(x, t, blk, 4.0)))
+    dt = timeit(bstep, table, n1=2, n2=10)
+    print(f"grid_encode (blocked) fwd: {n / dt / 1e6:.1f} Mpts/s "
+          f"({dt*1e3:.2f} ms for {n} pts)")
 
     gstep = jax.jit(lambda t: t - 1e-12 * jax.grad(
-        lambda tt: grid_encode_bound(x, tt, enc, 4.0).sum())(t))
-    dt = timeit(gstep, table, n1=3, n2=13)
-    print(f"grid_encode fwd+bwd: {n / dt / 1e6:.1f} Mpts/s ({dt*1e3:.2f} ms)")
+        lambda tt: blocked_grid_encode_bound(x, tt, blk, 4.0).sum())(t))
+    dt = timeit(gstep, table, n1=2, n2=10)
+    print(f"grid_encode (blocked) fwd+bwd: {n / dt / 1e6:.1f} Mpts/s "
+          f"({dt*1e3:.2f} ms)")
 
 
 def bench_render():

@@ -23,6 +23,11 @@ from sparsefusion_tpu.ops.grid_encode import (
     grid_encode_bound,
     make_grid_encoding,
 )
+from sparsefusion_tpu.ops.grid_encode_blocked import (
+    blocked_grid_encode_bound,
+    expand_blocked_tables,
+    make_blocked_encoding,
+)
 
 
 @jax.custom_vjp
@@ -89,6 +94,10 @@ class NGPConfig:
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
     bg_freq_degree: int = 4
+    # blocked lookup: 1 gather row per (point, level) instead of 8 corner
+    # rows — 16x fewer gather rows, the TPU bottleneck (identical math;
+    # see ops/grid_encode_blocked.py).  Tiled gridtype only.
+    use_blocked_lookup: bool = True
 
     def encoding(self) -> GridEncoding:
         return make_grid_encoding(
@@ -108,6 +117,9 @@ class NGPField(nn.Module):
     def setup(self):
         cfg = self.config
         self._enc = cfg.encoding()
+        self._blocked = None
+        if cfg.use_blocked_lookup and cfg.gridtype == "tiled":
+            self._blocked = make_blocked_encoding(self._enc)
         self.grid = self.param(
             "grid",
             lambda key: jax.random.uniform(
@@ -133,10 +145,22 @@ class NGPField(nn.Module):
         return cfg.density_blob_scale * jnp.exp(
             -d / (2 * cfg.density_blob_std ** 2))
 
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def expand_tables(self):
+        """Pre-expand blocked tables once per train step (cheap: rolls +
+        strided slices); pass the result to __call__ via ``tables=``."""
+        if self._blocked is None:
+            return None
+        return expand_blocked_tables(self.grid, self._blocked)
+
+    def __call__(self, x: jnp.ndarray, tables=None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (..., 3) in [-bound, bound] -> (sigma (...,), albedo (..., 3))."""
         cfg = self.config
-        h = grid_encode_bound(x, self.grid, self._enc, bound=cfg.bound)
+        if self._blocked is not None:
+            h = blocked_grid_encode_bound(x, self.grid, self._blocked,
+                                          bound=cfg.bound, tables=tables)
+        else:
+            h = grid_encode_bound(x, self.grid, self._enc, bound=cfg.bound)
         h = h.astype(self.dtype)
         for i, layer in enumerate(self.mlp):
             h = layer(h)

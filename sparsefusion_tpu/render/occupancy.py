@@ -124,38 +124,58 @@ class OccupancyGrid:
 
     # ---------------------------------------------------------------- query
     def occupancy_at(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N, 3) world points -> (N,) bool occupancy.
-
-        Cascade selection follows the CUDA marcher: the mip level is the
-        smallest cascade whose bound contains the point
-        (``raymarching.cu:353-416`` mip logic).
-        """
-        gs = self.grid_size
-        mx = jnp.max(jnp.abs(x), axis=-1)
-        level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(mx, 1.0))), 0,
-                         self.cascade - 1).astype(jnp.int32)
-        bound = jnp.minimum(2.0 ** level, self.bound)
-        coords = ((x / bound[:, None] + 1.0) * 0.5 * gs).astype(jnp.int32)
-        coords = jnp.clip(coords, 0, gs - 1)
-        idx = level * (gs ** 3) + morton3D(coords)
-        byte = self.bitfield[idx // 8]
-        bit = (byte >> (idx % 8).astype(jnp.uint8)) & 1
-        return bit.astype(bool)
+        return occupancy_lookup(self.bitfield, x, self.bound,
+                                self.grid_size, self.cascade)
 
     def occupancy_near_far(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                            near: jnp.ndarray, far: jnp.ndarray,
                            n_probe: int = 64):
-        """Tighten [near, far] to the occupied span along each ray."""
-        t = jnp.linspace(0.0, 1.0, n_probe)
-        ts = near[:, None] + (far - near)[:, None] * t[None]  # (N, P)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
-        occ = self.occupancy_at(pts.reshape(-1, 3)).reshape(ts.shape)
-        any_occ = jnp.any(occ, axis=-1)
-        big = jnp.where(occ, ts, jnp.inf)
-        small = jnp.where(occ, ts, -jnp.inf)
-        dt = (far - near) / (n_probe - 1)
-        new_near = jnp.where(any_occ,
-                             jnp.clip(jnp.min(big, -1) - dt, near, far), near)
-        new_far = jnp.where(any_occ,
-                            jnp.clip(jnp.max(small, -1) + dt, near, far), far)
-        return new_near, new_far, any_occ
+        return occupancy_near_far(self.bitfield, rays_o, rays_d, near, far,
+                                  self.bound, self.grid_size, self.cascade,
+                                  n_probe)
+
+    def full_bitfield(self) -> jnp.ndarray:
+        """All-occupied bitfield (warmup no-op for occupancy-guided paths)."""
+        return jnp.full_like(self.bitfield, 255)
+
+
+def occupancy_lookup(bitfield: jnp.ndarray, x: jnp.ndarray, bound: float,
+                     grid_size: int, cascade: int) -> jnp.ndarray:
+    """(N, 3) world points -> (N,) bool occupancy (pure, jit-friendly).
+
+    Cascade selection follows the CUDA marcher: the mip level is the
+    smallest cascade whose bound contains the point
+    (``raymarching.cu:353-416`` mip logic).
+    """
+    gs = grid_size
+    mx = jnp.max(jnp.abs(x), axis=-1)
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(mx, 1.0))), 0,
+                     cascade - 1).astype(jnp.int32)
+    cas_bound = jnp.minimum(2.0 ** level, bound)
+    coords = ((x / cas_bound[:, None] + 1.0) * 0.5 * gs).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, gs - 1)
+    idx = level * (gs ** 3) + morton3D(coords)
+    byte = bitfield[idx // 8]
+    bit = (byte >> (idx % 8).astype(jnp.uint8)) & 1
+    return bit.astype(bool)
+
+
+def occupancy_near_far(bitfield: jnp.ndarray, rays_o: jnp.ndarray,
+                       rays_d: jnp.ndarray, near: jnp.ndarray,
+                       far: jnp.ndarray, bound: float, grid_size: int,
+                       cascade: int, n_probe: int = 64):
+    """Tighten [near, far] to the occupied span along each ray (pure)."""
+    t = jnp.linspace(0.0, 1.0, n_probe)
+    ts = near[:, None] + (far - near)[:, None] * t[None]  # (N, P)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    occ = occupancy_lookup(bitfield, pts.reshape(-1, 3), bound, grid_size,
+                           cascade).reshape(ts.shape)
+    any_occ = jnp.any(occ, axis=-1)
+    big = jnp.where(occ, ts, jnp.inf)
+    small = jnp.where(occ, ts, -jnp.inf)
+    dt = (far - near) / (n_probe - 1)
+    new_near = jnp.where(any_occ,
+                         jnp.clip(jnp.min(big, -1) - dt, near, far), near)
+    new_far = jnp.where(any_occ,
+                        jnp.clip(jnp.max(small, -1) + dt, near, far), far)
+    return new_near, new_far, any_occ

@@ -117,19 +117,24 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 rng: Optional[jax.Array] = None,
                 perturb: bool = False,
                 det_importance: bool = False,
-                bg_color: float = 0.0):
+                bg_color: float = 0.0,
+                near_far_fn: Optional[Callable] = None):
     """Render a flat batch of rays.
 
     Args:
         field_fn: (P, 3) -> (sigma (P,), albedo (P, 3)).
         rays_o, rays_d: (N, 3) world rays.
         rng: required if perturb or not det_importance.
+        near_far_fn: optional (o, d, near, far) -> (near, far) refinement,
+            e.g. occupancy-guided interval tightening.
 
     Returns:
         dict(image (N,3), depth (N,), weights_sum (N,), mask (N,)).
     """
     n = rays_o.shape[0]
     nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    if near_far_fn is not None:
+        nears, fars = near_far_fn(rays_o, rays_d, nears, fars)
     nears_c = nears[:, None]
     fars_c = fars[:, None]
     sample_dist = (fars_c - nears_c) / cfg.num_steps
@@ -201,7 +206,8 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
                         perturb: bool = False,
                         det_importance: bool = True,
                         bg_color: float = 0.0,
-                        remat: bool = False):
+                        remat: bool = False,
+                        near_far_fn: Optional[Callable] = None):
     """Memory-staged rendering via lax.map over max_ray_batch chunks
     (replaces ``renderer_df.py:643-679`` staged path).
 
@@ -225,7 +231,7 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
     def body(args):
         oo, dd, kk = args
         return render_rays(field_fn, oo, dd, cfg, kk, perturb,
-                           det_importance, bg_color)
+                           det_importance, bg_color, near_far_fn)
 
     if remat:
         body = jax.checkpoint(body)

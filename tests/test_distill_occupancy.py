@@ -1,0 +1,30 @@
+"""Occupancy-guided distillation (TPU-tuned preset) end-to-end smoke."""
+import jax
+import numpy as np
+import pytest
+
+from sparsefusion_tpu.data.synthetic import make_synthetic_scene
+from sparsefusion_tpu.distill.loop import distillation_loop, tpu_distill_config
+from sparsefusion_tpu.nn.ngp import NGPConfig
+from tests.test_distillation import tiny_models
+
+
+@pytest.mark.slow
+def test_tpu_preset_distillation_runs(tmp_path):
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=3, image_size=32, seed=1)
+    cfg = tpu_distill_config(
+        max_itr=40, start_fusion_step=10 ** 9, n_aug_cameras=2,
+        num_steps=8, upsample_steps=8, max_ray_batch=256,
+        occupancy_start=10, occupancy_update_every=8,
+        ngp=NGPConfig(num_levels=4, level_dim=4, log2_hashmap_size=10))
+    out = distillation_loop(models, scene, [0, 1], cfg,
+                            jax.random.PRNGKey(0), use_diffusion=False,
+                            verbose=False)
+    assert np.all(np.isfinite(out["renders"]))
+    assert np.isfinite(out["metrics"]["psnr"])
+    # 40 iters with an immature occupancy grid is too noisy to demand a
+    # monotone loss (the photometric-learning assertion lives in
+    # test_distillation); just require sane bounded losses throughout.
+    assert np.all(np.isfinite(out["losses"]))
+    assert np.max(out["losses"]) < 10.0
