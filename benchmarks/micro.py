@@ -76,8 +76,12 @@ def bench_render():
         + jnp.array([0.0, 0.0, 1.0])
     cfg = VolumeRendererConfig()
 
+    from sparsefusion_tpu.nn.ngp import NGPField
+
     def render(params):
-        field = lambda x: model.apply({"params": params}, x)
+        tables = model.apply({"params": params},
+                             method=NGPField.expand_tables)
+        field = lambda x: model.apply({"params": params}, x, tables)
         return render_rays_chunked(field, o, d, cfg, jax.random.PRNGKey(2),
                                    perturb=True, det_importance=False,
                                    remat=True)["image"]

@@ -58,15 +58,21 @@ class BlockedLevel:
 class BlockedGridEncoding:
     base: GridEncoding
     levels: Tuple[BlockedLevel, ...]
+    block: int = 2
 
 
-def make_blocked_encoding(enc: GridEncoding) -> BlockedGridEncoding:
+def make_blocked_encoding(enc: GridEncoding,
+                          block: int = 2) -> BlockedGridEncoding:
+    """block=2 -> 3^3=27-lane rows (less memory traffic, 3.4x table
+    duplication); block=4 -> 5^3=125-lane rows (1.95x duplication)."""
     assert enc.gridtype == "tiled", "blocked path requires tiled gridtype"
     assert enc.input_dim == 3
+    assert block in (2, 4)
+    nb = block + 1
     levels = []
     for lvl in range(enc.num_levels):
         S = int(enc.offsets[lvl + 1] - enc.offsets[lvl])
-        assert S % 4 == 0
+        assert S % block == 0
         R = int(enc.resolutions[lvl])
         sy = int(enc.strides[lvl][1])
         sz = int(enc.strides[lvl][2])
@@ -74,22 +80,23 @@ def make_blocked_encoding(enc: GridEncoding) -> BlockedGridEncoding:
         # dropped strides (stride > table size) mean the level's lookup
         # ignores that axis entirely — fewer delta lanes needed
         if sy != 0 and sz != 0:
-            a, b, c = np.meshgrid(np.arange(5), np.arange(5), np.arange(5),
-                                  indexing="ij")
+            a, b, c = np.meshgrid(np.arange(nb), np.arange(nb),
+                                  np.arange(nb), indexing="ij")
             deltas = (a * 1 + b * sy + c * sz).reshape(-1)
-            lanes = 125
+            lanes = nb ** 3
         elif sy != 0:
-            a, b = np.meshgrid(np.arange(5), np.arange(5), indexing="ij")
+            a, b = np.meshgrid(np.arange(nb), np.arange(nb), indexing="ij")
             deltas = (a * 1 + b * sy).reshape(-1)
-            lanes = 25
+            lanes = nb ** 2
         else:
-            deltas = np.arange(5)
-            lanes = 5
+            deltas = np.arange(nb)
+            lanes = nb
         levels.append(BlockedLevel(
             size=S, offset=int(enc.offsets[lvl]), scale=float(enc.scales[lvl]),
-            resolution=R, stride_y=sy, stride_z=sz, n_rows=S // 4,
+            resolution=R, stride_y=sy, stride_z=sz, n_rows=S // block,
             deltas=deltas.astype(np.int64), lanes=lanes))
-    return BlockedGridEncoding(base=enc, levels=tuple(levels))
+    return BlockedGridEncoding(base=enc, levels=tuple(levels),
+                               block=block)
 
 
 def expand_blocked_tables(master: jnp.ndarray,
@@ -107,15 +114,16 @@ def expand_blocked_tables(master: jnp.ndarray,
         cols = []
         for d in lv.deltas:
             shifted = jnp.roll(m, -int(d % lv.size), axis=0)
-            cols.append(shifted[::4])           # (n_rows, C)
+            cols.append(shifted[::blk.block])   # (n_rows, C)
         out.append(jnp.stack(cols, axis=1))     # (n_rows, lanes, C)
     return out
 
 
-def _axis_weights(local: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
-    """(N,) local in [0,3], frac in [0,1) -> (N, 5) interpolation weights:
+def _axis_weights(local: jnp.ndarray, frac: jnp.ndarray,
+                  nb: int) -> jnp.ndarray:
+    """(N,) local in [0,block), frac in [0,1) -> (N, nb) weights:
     weight local -> (1-frac), local+1 -> frac."""
-    i = jnp.arange(5, dtype=local.dtype)[None, :]
+    i = jnp.arange(nb, dtype=local.dtype)[None, :]
     l = local[:, None]
     f = frac[:, None]
     return ((i == l) * (1.0 - f) + (i == l + 1) * f).astype(jnp.float32)
@@ -137,14 +145,17 @@ def blocked_grid_encode(x01: jnp.ndarray, tables: List[jnp.ndarray],
     x01 = x01.astype(jnp.float32)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
 
+    shift = {2: 1, 4: 2}[blk.block]
+    mask = blk.block - 1
+    nb = blk.block + 1
     outs = []
     for lv, table in zip(blk.levels, tables):
         pos = x01 * lv.scale + 0.5
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
         pg = pos_grid.astype(jnp.int32)
-        b = pg >> 2                          # block coords (N, 3)
-        local = (pg & 3).astype(jnp.int32)
+        b = pg >> shift                      # block coords (N, 3)
+        local = (pg & mask).astype(jnp.int32)
 
         krow = b[:, 0].astype(jnp.uint32)
         if lv.stride_y != 0:
@@ -156,17 +167,19 @@ def blocked_grid_encode(x01: jnp.ndarray, tables: List[jnp.ndarray],
         rows = jnp.take(table, krow, axis=0)     # (N, lanes, C)
 
         # dropped-axis weights sum to 1, so omitting them is exact
-        wx = _axis_weights(local[:, 0], frac[:, 0])
+        wx = _axis_weights(local[:, 0], frac[:, 0], nb)
         if lv.stride_y != 0 and lv.stride_z != 0:
-            wy = _axis_weights(local[:, 1], frac[:, 1])
-            wz = _axis_weights(local[:, 2], frac[:, 2])
-            w = jnp.einsum("na,nb,nc->nabc", wx, wy, wz).reshape(N, 125)
+            wy = _axis_weights(local[:, 1], frac[:, 1], nb)
+            wz = _axis_weights(local[:, 2], frac[:, 2], nb)
+            w = jnp.einsum("na,nb,nc->nabc", wx, wy, wz).reshape(N, nb ** 3)
         elif lv.stride_y != 0:
-            wy = _axis_weights(local[:, 1], frac[:, 1])
-            w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, 25)
+            wy = _axis_weights(local[:, 1], frac[:, 1], nb)
+            w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, nb ** 2)
         else:
             w = wx
-        outs.append(jnp.einsum("nl,nlc->nc", w.astype(table.dtype), rows))
+        # elementwise multiply + reduce (VPU) — fuses into the gather
+        # consumer better than a dot_general lowering
+        outs.append(jnp.sum(w[..., None].astype(table.dtype) * rows, axis=1))
 
     out = jnp.stack(outs, axis=1)            # (N, L, C)
     out = jnp.where(oob[:, None, None], 0.0, out)
