@@ -13,6 +13,7 @@ ours / 20.
 Prints exactly one JSON line to stdout.
 """
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,12 @@ A100_REFERENCE_STEPS_PER_SEC = 20.0
 
 def main():
     import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sparsefusion_tpu.utils.runtime import (
+        enable_persistent_compilation_cache,
+    )
+    enable_persistent_compilation_cache()
 
     from sparsefusion_tpu.nn.unet import EfficientUNet, UNetConfig
 
@@ -49,8 +56,6 @@ def main():
     # block_until_ready is unreliable through the axon relay; use chained
     # iterations + dependent scalar fetch with two-point timing
     # (see benchmarks/timing.py)
-    import os
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.timing import timeit
 
     dt = timeit(denoise_step, x, n1=10, n2=60)

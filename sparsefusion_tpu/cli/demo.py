@@ -100,8 +100,12 @@ def load_dataset(args):
 def main(argv=None):
     args = parse_args(argv)
     from sparsefusion_tpu.cli.check_args import check_args
+    from sparsefusion_tpu.utils.runtime import (
+        enable_persistent_compilation_cache,
+    )
 
     check_args(args)
+    enable_persistent_compilation_cache()
     from sparsefusion_tpu.distill.loop import DistillConfig, distillation_loop
     from sparsefusion_tpu.models import build_models
     from sparsefusion_tpu.parallel.mesh import shard_scene_list

@@ -46,6 +46,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from sparsefusion_tpu.utils.runtime import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     from sparsefusion_tpu.cli.demo import load_dataset
     from sparsefusion_tpu.models import build_models, count_params
     from sparsefusion_tpu.parallel.mesh import (

@@ -382,6 +382,12 @@ def distillation_loop(
             print(f"itr {itr:5d} loss {losses[-1]:.4f} "
                   f"({(itr + 1) / (time.time() - t0):.2f} it/s)")
 
+        # intermediate loss plots + render dump (distillation.py:355-388)
+        if (cfg.eval_every > 0 and save_dir is not None
+                and itr % cfg.eval_every == 0 and itr > 0):
+            _save_intermediate(save_dir, scene.sequence_name, losses,
+                               fusion_losses_log)
+
     # ---- Phase C: eval (distillation.py:391-497) -------------------------
     @jax.jit
     def eval_render(params, cam, key, bitfield):
@@ -409,10 +415,23 @@ def distillation_loop(
         print(f"scene {scene.sequence_name} psnr: {summary['psnr']:.2f} "
               f"ssim: {summary['ssim']:.3f}")
 
+    # circle-path orbit renders (distillation.py:460-491)
+    circle_renders = []
+    circle_cams = get_interpolated_path(scene_vox, n=cfg.n_aug_cameras)
+    for ci in range(len(circle_cams)):
+        rng, k = jax.random.split(rng)
+        img, sil = eval_render(ngp_params,
+                               get_camera_slice(circle_cams, [ci]), k,
+                               bitfield)
+        circle_renders.append(
+            np.hstack([np.asarray(img),
+                       np.repeat(np.asarray(sil), 3, axis=-1)]))
+
     result = {
         "ngp_params": ngp_params,
         "renders": np.stack(renders),
         "silhouettes": np.stack(sils),
+        "circle_renders": np.stack(circle_renders),
         "metrics": summary,
         "losses": losses,
         "fusion_losses": fusion_losses_log,
@@ -421,6 +440,28 @@ def distillation_loop(
     if save_dir is not None:
         _save_outputs(result, scene, feature_cache, save_dir, verbose)
     return result
+
+
+def _save_intermediate(save_dir: str, seq: str, losses, fusion_losses):
+    os.makedirs(f"{save_dir}/log", exist_ok=True)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.plot(losses, linewidth=1, label="volumetric")
+        plt.legend(loc="upper right")
+        plt.savefig(f"{save_dir}/log/{seq}_loss.jpg")
+        plt.cla()
+        plt.close()
+        if fusion_losses:
+            plt.plot(fusion_losses, linewidth=1)
+            plt.savefig(f"{save_dir}/log/{seq}_fusionloss.jpg")
+            plt.cla()
+            plt.close()
+    except ImportError:
+        pass
 
 
 def _save_outputs(result, scene: SceneData, feature_cache, save_dir: str,
@@ -445,6 +486,13 @@ def _save_outputs(result, scene: SceneData, feature_cache, save_dir: str,
             imageio.imwrite(
                 f"{save_dir}/render_imgs/{seq}/{i:03d}.jpg",
                 to_uint8(np.hstack([scene.images[i], result["renders"][i]])))
+
+    if "circle_renders" in result and len(result["circle_renders"]):
+        circle_path = f"{save_dir}/render_gifs/{seq}_circle.gif"
+        with imageio.get_writer(circle_path, mode="I",
+                                duration=0.2) as writer:
+            for frame in result["circle_renders"]:
+                writer.append_data(to_uint8(frame))
 
     with open(f"{save_dir}/metrics/{seq}.txt", "w") as fp:
         fp.write("warning: this metric is used for debugging only and not "

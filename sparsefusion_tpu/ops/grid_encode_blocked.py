@@ -9,22 +9,23 @@ row:
 
 * The linear tiled index is plain arithmetic: idx(x,y,z) = x + y*sy +
   z*sz (included strides only) taken mod S.  For a block base aligned to
-  4 per axis, every corner of every cell in the block lives at
-  ``(4*k + delta) mod S`` for a *static* offset set delta in
-  {0..4}x{0..4}x{0..4} (digit arithmetic never carries — it's plain
-  integer arithmetic, so the identity is exact even at block edges).
-* Therefore a "blocked table" with rows ``blocked[k, d] =
-  master[(4*k + delta_d) mod S]`` (k in [0, S/4)) can be materialized
-  from the master by 125 rolls + stride-4 slices — pure memory moves, no
-  gather — and one dynamic row fetch per (point, level) plus a separable
-  125-lane trilinear weight contraction reproduces the encoding.
-* Levels whose z-stride exceeds the table (the reference's capped tiled
-  levels ignore z entirely) use 5x5 = 25-lane 2D rows.
+  B (=2 by default) per axis, every corner of every cell in the block
+  lives at ``(B*k + delta) mod S`` for a *static* offset set delta in
+  {0..B}^3 (plain integer arithmetic — the identity is exact even at
+  block edges).
+* Therefore a "blocked table" with 2D rows ``blocked[k, l*C+c] =
+  master_flat[((B*k + delta_l) mod S)*C + c]`` materializes with one
+  static-index gather per level, and one dynamic row fetch per
+  (point, level) + a separable trilinear weight contraction reproduces
+  the encoding.  (Keep tables 2D: a (rows, lanes, C) layout tile-pads
+  C=2 -> 128 on TPU, a measured 64x memory blowup.)
+* Levels with dropped strides (the reference's capped tiled levels
+  ignore those axes) use (B+1)^2 or (B+1)^1 lanes.
 
-Row counts per point drop from 8L to L (16x fewer gather rows); the
+Row counts per point drop from 8L to L (8x fewer gather rows); the
 weight contraction is VPU-friendly elementwise work.  Backward is
-autodiff: a row-scatter per (point, level) plus the structured transpose
-of the roll/slice expansion.
+autodiff: a row-scatter per (point, level) plus the static-index
+scatter transpose of the expand.
 
 Only ``gridtype='tiled'`` is supported (SparseFusion's configuration);
 hash levels fall back to ``ops/grid_encode.py``.
@@ -49,9 +50,10 @@ class BlockedLevel:
     resolution: int
     stride_y: int
     stride_z: int           # 0 if the z digit is dropped (2D level)
-    n_rows: int             # S // 4
+    n_rows: int             # S // block
     deltas: np.ndarray      # (lanes,) static entry offsets
-    lanes: int              # 125 (3D) or 25 (2D)
+    lanes: int              # (block+1)^{1,2,3} depending on live axes
+    expand_indices: np.ndarray  # (n_rows * lanes * C,) flat master indices
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +70,7 @@ def make_blocked_encoding(enc: GridEncoding,
     assert enc.gridtype == "tiled", "blocked path requires tiled gridtype"
     assert enc.input_dim == 3
     assert block in (2, 4)
+    C = enc.level_dim
     nb = block + 1
     levels = []
     for lvl in range(enc.num_levels):
@@ -91,31 +94,56 @@ def make_blocked_encoding(enc: GridEncoding,
         else:
             deltas = np.arange(nb)
             lanes = nb
+        # static flat-master indices for the one-gather expand:
+        # blocked2d[k, l*C + c] = master_flat[(off + (B*k + delta_l) % S)*C + c]
+        n_rows = S // block
+        ks = np.arange(n_rows, dtype=np.int64)[:, None]
+        entry = (block * ks + deltas[None, :]) % S  # (n_rows, lanes)
+        flat_idx = ((int(enc.offsets[lvl]) + entry)[:, :, None] * C
+                    + np.arange(C)[None, None, :])
         levels.append(BlockedLevel(
             size=S, offset=int(enc.offsets[lvl]), scale=float(enc.scales[lvl]),
-            resolution=R, stride_y=sy, stride_z=sz, n_rows=S // block,
-            deltas=deltas.astype(np.int64), lanes=lanes))
+            resolution=R, stride_y=sy, stride_z=sz, n_rows=n_rows,
+            deltas=deltas.astype(np.int64), lanes=lanes,
+            expand_indices=flat_idx.reshape(-1).astype(np.int32)))
     return BlockedGridEncoding(base=enc, levels=tuple(levels),
                                block=block)
 
 
+# Device-resident copies of the static expand indices.  Creating them
+# with jnp.asarray *inside* a traced function would inline them as
+# multi-MB HLO literals (pathological for the compiler, especially over
+# a remote-compile relay); as pre-placed device arrays they are hoisted
+# to jaxpr constvars and passed as plain buffers.
+_DEVICE_INDEX_CACHE: dict = {}
+
+
+def _device_indices(blk: BlockedGridEncoding) -> List[jnp.ndarray]:
+    key = id(blk)
+    if key not in _DEVICE_INDEX_CACHE:
+        # eager even when first touched inside a trace (NGPField.setup
+        # can run under jit) — avoids leaking tracers into the cache
+        with jax.ensure_compile_time_eval():
+            _DEVICE_INDEX_CACHE[key] = [
+                jnp.asarray(lv.expand_indices) for lv in blk.levels]
+    return _DEVICE_INDEX_CACHE[key]
+
+
 def expand_blocked_tables(master: jnp.ndarray,
                           blk: BlockedGridEncoding) -> List[jnp.ndarray]:
-    """Materialize per-level (n_rows, lanes, C) blocked tables.
+    """Materialize per-level (n_rows, lanes*C) 2D blocked tables.
 
-    Pure rolls + stride-4 slices of the master — no gathers; XLA compiles
-    this to memory moves, and its transpose (the backward) to structured
-    adds.
+    One static-index gather per level from the flattened master.  2D with
+    a wide trailing dim matters: (n_rows, lanes, C) tables tile the last
+    two dims on TPU, padding C=2 -> 128 lanes (64x memory blowup measured
+    as 56 s/expand); the flat layout keeps everything dense.
     """
     C = master.shape[-1]
+    flat = master.reshape(-1)
     out = []
-    for lv in blk.levels:
-        m = jax.lax.dynamic_slice_in_dim(master, lv.offset, lv.size, axis=0)
-        cols = []
-        for d in lv.deltas:
-            shifted = jnp.roll(m, -int(d % lv.size), axis=0)
-            cols.append(shifted[::blk.block])   # (n_rows, C)
-        out.append(jnp.stack(cols, axis=1))     # (n_rows, lanes, C)
+    for lv, idx in zip(blk.levels, _device_indices(blk)):
+        out.append(jnp.take(flat, idx, axis=0).reshape(
+            lv.n_rows, lv.lanes * C))
     return out
 
 
@@ -141,7 +169,7 @@ def blocked_grid_encode(x01: jnp.ndarray, tables: List[jnp.ndarray],
         (N, L * C), identical values to ``grid_encode``.
     """
     N = x01.shape[0]
-    C = tables[0].shape[-1]
+    C = blk.base.level_dim
     x01 = x01.astype(jnp.float32)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
 
@@ -164,7 +192,7 @@ def blocked_grid_encode(x01: jnp.ndarray, tables: List[jnp.ndarray],
             krow = krow + b[:, 2].astype(jnp.uint32) * jnp.uint32(lv.stride_z)
         krow = (krow % jnp.uint32(lv.n_rows)).astype(jnp.int32)
 
-        rows = jnp.take(table, krow, axis=0)     # (N, lanes, C)
+        rows = jnp.take(table, krow, axis=0)     # (N, lanes*C) 2D
 
         # dropped-axis weights sum to 1, so omitting them is exact
         wx = _axis_weights(local[:, 0], frac[:, 0], nb)
@@ -177,13 +205,16 @@ def blocked_grid_encode(x01: jnp.ndarray, tables: List[jnp.ndarray],
             w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, nb ** 2)
         else:
             w = wx
-        # elementwise multiply + reduce (VPU) — fuses into the gather
-        # consumer better than a dot_general lowering
-        outs.append(jnp.sum(w[..., None].astype(table.dtype) * rows, axis=1))
+        # stay 2D: repeat weights per channel, multiply, strided-sum —
+        # small trailing dims (lanes, C) would tile-pad 64x on TPU
+        w2 = jnp.repeat(w, C, axis=1).astype(table.dtype)  # (N, lanes*C)
+        prod = w2 * rows
+        outs.append(jnp.stack(
+            [jnp.sum(prod[:, c::C], axis=1) for c in range(C)], axis=-1))
 
-    out = jnp.stack(outs, axis=1)            # (N, L, C)
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    return out.reshape(N, len(blk.levels) * C)
+    out = jnp.concatenate(outs, axis=1)      # (N, L*C)
+    out = jnp.where(oob[:, None], 0.0, out)
+    return out
 
 
 def blocked_grid_encode_bound(x: jnp.ndarray, master: jnp.ndarray,
