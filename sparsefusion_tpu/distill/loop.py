@@ -67,7 +67,10 @@ class DistillConfig:
     lambda_entropy: float = 0.0
     lambda_percep: float = 0.1   # enabled after start_fusion_step
     lr: float = 5e-4
-    lr_decay_step: int = 3000
+    # the torch StepLR(3000) ticks once per iteration; optax schedules
+    # tick per optimizer update and we apply two updates per iteration
+    # (input + fusion, mirroring distillation.py:244/352) -> 6000
+    lr_decay_step: int = 6000
     lr_decay_gamma: float = 0.2
     hw_scale: int = 2
     eft_scale: int = 8
