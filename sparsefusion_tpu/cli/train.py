@@ -79,7 +79,6 @@ def main(argv=None):
                                             None)
     print(f"UNet has {count_params(models.unet_params) * 1e-6:.2f} M params")
 
-    args.dataset_name = args.dataset_name
     dataset = load_dataset(args)
 
     cfg = TrainConfig(lr=args.lr, context_size=args.context_size,
@@ -126,6 +125,41 @@ def main(argv=None):
             loss = float(aux["loss"])
             sps = (step - start_step + 1) / (time.time() - t0)
             print(f"step {step} loss {loss:.4f} ({sps:.2f} steps/s)")
+
+        # visualization grids (train.py:452-455 equivalent)
+        if args.vis_itr > 0 and step % args.vis_itr == 0 and step > 0 \
+                and jax.process_index() == 0:
+            try:
+                from sparsefusion_tpu.core.cameras import get_camera_slice
+                from sparsefusion_tpu.train.visualize import (
+                    save_visualization,
+                )
+
+                host_state = jax.device_get(state)
+                scene = scenes[0]
+                cams = scene.cameras()
+                from sparsefusion_tpu.core.cameras import (
+                    get_relative_cameras,
+                )
+                rel = get_relative_cameras(cams, [query[0]])
+                import numpy as _np
+
+                centers = -_np.einsum(
+                    "ni,nij->nj", _np.asarray(rel.T), _np.asarray(rel.R))
+                dist = float(_np.mean(_np.linalg.norm(centers, axis=1)))
+                save_visualization(
+                    models, host_state["unet_params"],
+                    host_state["eft_params"],
+                    get_camera_slice(rel, [query[0]]),
+                    jax.numpy.asarray(scene.images[query[0]]),
+                    get_camera_slice(rel, ctx[0]),
+                    jax.numpy.asarray(scene.images[ctx[0]]),
+                    dist - 5.0, dist + 5.0,
+                    os.path.join(exp_dir, f"vis_{step:06d}.jpg"),
+                    k, latent_hw=cfg.latent_size)
+                print("visualizing", args.exp_name, args.category)
+            except Exception as e:  # vis must never kill training
+                print("vis failed:", e)
         if step % args.save_itr == 0 and step > 0 \
                 and jax.process_index() == 0:
             save_checkpoint(os.path.join(exp_dir, "ckpt_latest"),

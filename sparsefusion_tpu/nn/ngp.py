@@ -12,7 +12,7 @@ sigma = trunc_exp(raw + center gaussian blob), sigmoid albedo.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -95,9 +95,12 @@ class NGPConfig:
     hidden_dim_bg: int = 64
     bg_freq_degree: int = 4
     # blocked lookup: 1 gather row per (point, level) instead of 8 corner
-    # rows — 16x fewer gather rows, the TPU bottleneck (identical math;
+    # rows — 8x fewer gather rows, the TPU bottleneck (identical math;
     # see ops/grid_encode_blocked.py).  Tiled gridtype only.
     use_blocked_lookup: bool = True
+    # optional reduced-precision expanded tables (halves gather traffic;
+    # the master param stays fp32 for the optimizer). None = fp32.
+    table_dtype: Optional[str] = None
 
     def encoding(self) -> GridEncoding:
         return make_grid_encoding(
@@ -150,7 +153,10 @@ class NGPField(nn.Module):
         strided slices); pass the result to __call__ via ``tables=``."""
         if self._blocked is None:
             return None
-        return expand_blocked_tables(self.grid, self._blocked)
+        tables = expand_blocked_tables(self.grid, self._blocked)
+        if self.config.table_dtype is not None:
+            tables = tables.astype(self.config.table_dtype)
+        return tables
 
     def __call__(self, x: jnp.ndarray, tables=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:

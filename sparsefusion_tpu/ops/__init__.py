@@ -8,3 +8,10 @@ from sparsefusion_tpu.ops.grid_encode import (
     grid_encode,
     make_grid_encoding,
 )
+from sparsefusion_tpu.ops.grid_encode_blocked import (
+    BlockedGridEncoding,
+    blocked_grid_encode,
+    blocked_grid_encode_bound,
+    expand_blocked_tables,
+    make_blocked_encoding,
+)
