@@ -306,22 +306,34 @@ def distillation_loop(
 
     denoise_fn = models.denoise_fn()
 
-    def fusion_losses(params, cam, features, key, bitfield):
-        k_r, k_t, k_s = jax.random.split(key, 3)
-        img, sil = _render_up(params, cam, k_r, bitfield)
+    # The diffusion target is compiled in PIECES: one program holding
+    # render + 4 UNet instances + VAE enc/dec + the render backward
+    # exceeded the remote compiler (connection dropped after ~40 min).
+    # The reference runs the sampler under no_grad anyway
+    # (distillation.py:298-309); rendering twice with the same key
+    # reproduces the identical image in both programs.
+    @jax.jit
+    def fusion_render_fwd(params, cam, k_r, bitfield):
+        img, _ = _render_up(params, cam, k_r, bitfield)
+        return img
 
-        # diffusion branch under stop_gradient (reference no_grad blocks)
-        img_sg = jax.lax.stop_gradient(img)
-        latents = models.vae_encode(img_sg[None])
+    @jax.jit
+    def fusion_sample(img, features, k_t, k_s):
+        latents = models.vae_encode(img[None])
         max_thres = jnp.clip(jax.random.uniform(k_t), 0.0, 0.99)
         pred_x0, _, _, alpha_cumprod = plms_sample(
             models.ddpm, denoise_fn, k_s, latents, max_thres,
             cond_images=features[None], cond_scale=cfg.cond_scale,
             plms_steps=cfg.plms_steps)
         pred_img = models.vae_decode(pred_x0)[0]
-        pred_img = jax.lax.stop_gradient(pred_img)
-        fusion_weight = jax.lax.stop_gradient(1.0 - alpha_cumprod[0])
+        return pred_img, 1.0 - alpha_cumprod[0]
 
+    def fusion_target(params, cam, features, k_r, k_t, k_s, bitfield):
+        img = fusion_render_fwd(params, cam, k_r, bitfield)
+        return fusion_sample(img, features, k_t, k_s)
+
+    def fusion_losses(params, cam, pred_img, fusion_weight, k_r, bitfield):
+        img, sil = _render_up(params, cam, k_r, bitfield)
         loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
         if lpips_fn is not None and cfg.lambda_percep > 0:
             # perceptual term active after start_fusion_step
@@ -329,15 +341,23 @@ def distillation_loop(
             loss += cfg.lambda_percep * jnp.mean(
                 lpips_fn(img[None], pred_img[None]))
         loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
-        return loss, pred_img
+        return loss
 
     @jax.jit
-    def fusion_step(params, opt_state, cam, features, key, bitfield):
-        (loss, pred_img), grads = jax.value_and_grad(
-            fusion_losses, has_aux=True)(params, cam, features, key,
-                                         bitfield)
+    def fusion_grad_step(params, opt_state, cam, pred_img, fusion_weight,
+                         k_r, bitfield):
+        loss, grads = jax.value_and_grad(fusion_losses)(
+            params, cam, pred_img, fusion_weight, k_r, bitfield)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    def fusion_step(params, opt_state, cam, features, key, bitfield):
+        k_r, k_t, k_s = jax.random.split(key, 3)
+        pred_img, weight = fusion_target(params, cam, features, k_r, k_t,
+                                         k_s, bitfield)
+        pred_img = jax.lax.stop_gradient(pred_img)
+        return fusion_grad_step(params, opt_state, cam, pred_img, weight,
+                                k_r, bitfield)
 
     @jax.jit
     def occ_density_fn(params, pts):
