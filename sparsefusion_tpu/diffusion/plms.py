@@ -159,6 +159,101 @@ def plms_sample(
     return img, x_noisy, init_noise, alpha_cumprod
 
 
+_XPREV_JIT_CACHE: dict = {}
+
+
+def _xprev_jit(ddpm: DDPM):
+    key = ddpm.config
+    if key not in _XPREV_JIT_CACHE:
+        _XPREV_JIT_CACHE[key] = jax.jit(
+            lambda rng, x, t, t_next, eps:
+            _x_prev_from_eps(ddpm, rng, x, t, t_next, eps)[0])
+    return _XPREV_JIT_CACHE[key]
+
+
+def plms_sample_host(
+    ddpm: DDPM,
+    denoise_fn: Callable,
+    rng: jax.Array,
+    image: jnp.ndarray,
+    max_thres: float,
+    cond_images: Optional[jnp.ndarray] = None,
+    cond_scale: float = 1.0,
+    plms_steps: int = 50,
+):
+    """Host-driven PLMS: a Python loop over one small jitted x_prev
+    program and per-step denoiser calls.
+
+    Numerically identical to :func:`plms_sample` (same key-splitting
+    structure; asserted in tests) but compiles only tiny programs — the
+    scan version inlines 4 UNet bodies into one program, which the
+    axon remote-compile relay cannot digest for the full-size model.
+    ``max_thres`` must be a host float here (drawn on host per fusion
+    iteration, mirroring ``distillation.py:303``).
+    """
+    cfg = ddpm.config
+    sched = ddpm.schedule
+    batch = image.shape[0]
+    max_thres = float(max_thres)
+
+    full_start = max_thres >= 0.99
+    n_steps = plms_steps if full_start else min(
+        int(max_thres * plms_steps * 2), plms_steps)
+    denom = float(max(n_steps, 1))
+    start_t = 1.0 if full_start else max_thres
+    times_all = [start_t * max(denom - i, 0.0) / denom
+                 for i in range(plms_steps + 1)]
+
+    xprev = _xprev_jit(ddpm)
+
+    def tfull(t):
+        return jnp.full((batch,), t)
+
+    def eval_eps(x, t):
+        return ddpm.forward_with_cond_scale(
+            denoise_fn, x, sched.get_condition(tfull(t)), cond_images,
+            cond_scale)
+
+    k_init, key = jax.random.split(rng)
+    init_noise = jax.random.normal(k_init, image.shape, image.dtype)
+    x_noisy, log_snr = sched.q_sample(image, max_thres, init_noise)
+    img = image if full_start else x_noisy
+
+    old_eps = []
+    if n_steps > 0:
+        key, sub = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(sub, 3)
+        t, t_next = times_all[0], times_all[1]
+        e_t = eval_eps(img, t)
+        x_prev1 = xprev(k1, img, tfull(t), tfull(t_next), e_t)
+        e_t_next = eval_eps(x_prev1, t_next)
+        e_prime = (e_t + e_t_next) / 2
+        img = xprev(k2, img, tfull(t), tfull(t_next), e_prime)
+        old_eps.append(e_t)
+
+    for i in range(1, plms_steps):
+        if i >= n_steps:
+            continue
+        t, t_next = times_all[i], times_all[i + 1]
+        k1, key = jax.random.split(key)
+        e_t = eval_eps(img, t)
+        if len(old_eps) == 1:
+            e_prime = (3 * e_t - old_eps[-1]) / 2
+        elif len(old_eps) == 2:
+            e_prime = (23 * e_t - 16 * old_eps[-1] + 5 * old_eps[-2]) / 12
+        else:
+            e_prime = (55 * e_t - 59 * old_eps[-1] + 37 * old_eps[-2]
+                       - 9 * old_eps[-3]) / 24
+        img = xprev(k1, img, tfull(t), tfull(t_next), e_prime)
+        old_eps.append(e_t)
+        if len(old_eps) >= 4:
+            old_eps.pop(0)
+
+    if cfg.clip_output:
+        img = jnp.clip(img, -cfg.clip_value, cfg.clip_value)
+    return img, x_noisy, init_noise, jax.nn.sigmoid(log_snr)
+
+
 @dataclasses.dataclass(frozen=True)
 class PLMSSampler:
     """OO convenience mirroring ``external/plms.py:13`` call sites."""

@@ -84,6 +84,12 @@ class DistillConfig:
     max_ray_batch: int = 4096
     plms_steps: int = 50
     cond_scale: float = 1.0
+    # host-driven PLMS loop: compiles one small x_prev program + reuses
+    # the single UNet program per step, instead of one giant scan program
+    # (which the axon remote-compile relay cannot digest at full model
+    # size).  Bit-equal to the scan (tests/test_plms_host.py).  None =
+    # auto: host loop on non-CPU platforms, scan on CPU.
+    plms_host_loop: Optional[bool] = None
     eval_every: int = 0           # 0 disables intermediate eval dumps
     ngp: NGPConfig = NGPConfig()
     # occupancy-guided sampling (TPU-native replacement for the cuda_ray
@@ -317,16 +323,35 @@ def distillation_loop(
         img, _ = _render_up(params, cam, k_r, bitfield)
         return img
 
-    @jax.jit
-    def fusion_sample(img, features, k_t, k_s):
-        latents = models.vae_encode(img[None])
-        max_thres = jnp.clip(jax.random.uniform(k_t), 0.0, 0.99)
-        pred_x0, _, _, alpha_cumprod = plms_sample(
-            models.ddpm, denoise_fn, k_s, latents, max_thres,
-            cond_images=features[None], cond_scale=cfg.cond_scale,
-            plms_steps=cfg.plms_steps)
-        pred_img = models.vae_decode(pred_x0)[0]
-        return pred_img, 1.0 - alpha_cumprod[0]
+    use_host_plms = cfg.plms_host_loop
+    if use_host_plms is None:
+        use_host_plms = jax.default_backend() != "cpu"
+
+    if use_host_plms:
+        from sparsefusion_tpu.diffusion.plms import plms_sample_host
+
+        vae_enc = jax.jit(lambda img: models.vae_encode(img[None]))
+        vae_dec = jax.jit(lambda z: models.vae_decode(z)[0])
+
+        def fusion_sample(img, features, k_t, k_s):
+            latents = vae_enc(img)
+            max_thres = min(float(jax.random.uniform(k_t)), 0.99)
+            pred_x0, _, _, alpha_cumprod = plms_sample_host(
+                models.ddpm, denoise_fn, k_s, latents, max_thres,
+                cond_images=features[None], cond_scale=cfg.cond_scale,
+                plms_steps=cfg.plms_steps)
+            return vae_dec(pred_x0), 1.0 - alpha_cumprod[0]
+    else:
+        @jax.jit
+        def fusion_sample(img, features, k_t, k_s):
+            latents = models.vae_encode(img[None])
+            max_thres = jnp.clip(jax.random.uniform(k_t), 0.0, 0.99)
+            pred_x0, _, _, alpha_cumprod = plms_sample(
+                models.ddpm, denoise_fn, k_s, latents, max_thres,
+                cond_images=features[None], cond_scale=cfg.cond_scale,
+                plms_steps=cfg.plms_steps)
+            pred_img = models.vae_decode(pred_x0)[0]
+            return pred_img, 1.0 - alpha_cumprod[0]
 
     def fusion_target(params, cam, features, k_r, k_t, k_s, bitfield):
         img = fusion_render_fwd(params, cam, k_r, bitfield)
