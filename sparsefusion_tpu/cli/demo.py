@@ -85,8 +85,9 @@ def load_dataset(args):
     if args.dataset_name == "synthetic":
         from sparsefusion_tpu.data.synthetic import SyntheticDataset
 
-        return SyntheticDataset(n_scenes=max(args.val_list) + 1,
-                                n_views=10, image_size=args.image_size)
+        n_scenes = max(getattr(args, "val_list", [3])) + 1
+        return SyntheticDataset(n_scenes=n_scenes, n_views=10,
+                                image_size=args.image_size)
     if args.dataset_name == "co3d_toy":
         from sparsefusion_tpu.data.co3d_toy import CO3DToyDataset
 

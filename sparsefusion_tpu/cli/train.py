@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--save_itr", type=int, default=1000)
     p.add_argument("--vis_itr", type=int, default=100)
     p.add_argument("--exp_dir", type=str, default="output/train/")
+    p.add_argument("--preset", type=str, default="sf",
+                   choices=["sf", "tiny"],
+                   help="'tiny' swaps in small model configs (smoke tests)")
     args = p.parse_args(argv)
     args.vae_ckpt = None if args.vae == "-DNE" else args.vae
     return args
@@ -73,8 +76,26 @@ def main(argv=None):
     exp_dir = os.path.join(args.exp_dir, args.exp_name, args.category)
     os.makedirs(exp_dir, exist_ok=True)
 
-    models = build_models(jax.random.PRNGKey(0),
-                          latent_size=args.image_size // 8)
+    if args.preset == "tiny":
+        from sparsefusion_tpu.diffusion.ddpm import DDPMConfig
+        from sparsefusion_tpu.nn.unet import UNetConfig
+        from sparsefusion_tpu.nn.vae import VAEConfig
+
+        models = build_models(
+            jax.random.PRNGKey(0), latent_size=args.image_size // 8,
+            unet_config=UNetConfig(
+                dim=32, dim_mults=(1, 2), num_resnet_blocks=(1, 1),
+                layer_attns=(False, True),
+                layer_cross_attns=(False, False),
+                cond_images_channels=256, attn_heads=2, attn_dim_head=8),
+            vae_config=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2),
+                                 num_res_blocks=1),
+            ddpm_config=DDPMConfig(channels=4,
+                                   image_size=args.image_size // 8,
+                                   timesteps=100))
+    else:
+        models = build_models(jax.random.PRNGKey(0),
+                              latent_size=args.image_size // 8)
     models = maybe_import_reference_weights(models, None, args.vae_ckpt,
                                             None)
     print(f"UNet has {count_params(models.unet_params) * 1e-6:.2f} M params")
@@ -99,7 +120,8 @@ def main(argv=None):
     }
     start_step = 0
     if args.resume:
-        restored = restore_checkpoint(args.resume)
+        restored = restore_checkpoint(args.resume,
+                                      target={"step": 0, **state})
         start_step = int(restored.pop("step", 0))
         state.update(restored)
         print(f"resumed from {args.resume} at step {start_step}")

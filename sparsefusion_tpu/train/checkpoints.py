@@ -28,9 +28,23 @@ def save_checkpoint(path: str, tree: Dict[str, Any]):
     ckpt.save(path, tree, force=True)
 
 
-def restore_checkpoint(path: str) -> Dict[str, Any]:
+def restore_checkpoint(path: str,
+                       target: Optional[Dict[str, Any]] = None
+                       ) -> Dict[str, Any]:
+    """Restore a checkpoint; pass ``target`` (a same-structure pytree,
+    e.g. freshly initialized state) to recover container types like the
+    optax NamedTuple states, which otherwise come back as plain dicts."""
     ckpt = _checkpointer()
-    return ckpt.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if target is None:
+        return ckpt.restore(path)
+    import jax
+    import orbax.checkpoint as ocp
+
+    shapes = jax.tree_util.tree_map(
+        lambda x: ocp.utils.to_shape_dtype_struct(x)
+        if hasattr(x, "shape") else x, target)
+    return ckpt.restore(path, item=shapes)
 
 
 def maybe_import_reference_weights(models, eft_ckpt: Optional[str] = None,
