@@ -45,6 +45,18 @@ def parse_args(argv=None):
     p.add_argument("--max_itr", type=int, default=3000)
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--no_diffusion", action="store_true")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="converted LPIPS npz (tools/convert_weights.py) OR "
+                        "a pair 'vgg16.pth,lpips_vgg.pth' of torch files; "
+                        "enables the perceptual fusion term + LPIPS eval")
+    p.add_argument("--resnet18", type=str, default=None,
+                   help="torchvision resnet18 state dict (.pth) for the "
+                        "EFT trunk (reference eft.py:99 pretrained=True)")
+    p.add_argument("--preset", type=str, default="auto",
+                   choices=["auto", "reference", "tpu"],
+                   help="'tpu' = occupancy-guided 32+32 sampling, 8x4 "
+                        "bf16 tables (measured-fastest); 'reference' = "
+                        "exact torch-ngp opt; 'auto' = tpu on TPU")
     args = p.parse_args(argv)
 
     # reference default parameter block (demo.py:140-158)
@@ -101,16 +113,24 @@ def load_dataset(args):
 def main(argv=None):
     args = parse_args(argv)
     from sparsefusion_tpu.cli.check_args import check_args
+    from sparsefusion_tpu.parallel.mesh import maybe_init_distributed
     from sparsefusion_tpu.utils.runtime import (
         enable_persistent_compilation_cache,
     )
 
     check_args(args)
+    maybe_init_distributed()
     enable_persistent_compilation_cache()
-    from sparsefusion_tpu.distill.loop import DistillConfig, distillation_loop
+    from sparsefusion_tpu.distill.loop import (
+        DistillConfig,
+        distillation_loop,
+        tpu_distill_config,
+    )
     from sparsefusion_tpu.models import build_models
+    from sparsefusion_tpu.nn.lpips import build_lpips_fn
     from sparsefusion_tpu.parallel.mesh import shard_scene_list
     from sparsefusion_tpu.train.checkpoints import (
+        import_resnet18_trunk,
         maybe_import_reference_weights,
     )
 
@@ -121,11 +141,24 @@ def main(argv=None):
     models = build_models(jax.random.PRNGKey(0))
     models = maybe_import_reference_weights(
         models, args.eft_ckpt, args.vae_ckpt, args.vldm_ckpt)
+    if args.eft_ckpt is None:
+        # the reference EFT always starts from an ImageNet trunk
+        # (eft.py:99); without an EFT ckpt, load it separately if given
+        models = import_resnet18_trunk(models, args.resnet18)
+    lpips_fn = build_lpips_fn(args.lpips_weights)
 
     dataset = load_dataset(args)
     n_proc = jax.process_count()
     val_list = shard_scene_list(args.val_list, n_proc, jax.process_index())
     print(f"process {jax.process_index()}: assigned idx {val_list}")
+
+    preset = args.preset
+    if preset == "auto":
+        preset = "tpu" if jax.default_backend() == "tpu" else "reference"
+    if preset == "tpu":
+        cfg = tpu_distill_config(max_itr=args.max_itr)
+    else:
+        cfg = DistillConfig(max_itr=args.max_itr)
 
     for val_idx in val_list:
         scene = dataset[val_idx]
@@ -134,12 +167,12 @@ def main(argv=None):
         print("val_idx", val_idx, input_idx)
         seq_name = f"{args.category}_{val_idx:03d}_c{len(input_idx)}"
         scene.sequence_name = seq_name
-        cfg = DistillConfig(max_itr=args.max_itr)
         distillation_loop(
             models, scene, input_idx, cfg,
             jax.random.PRNGKey(args.val_seed + val_idx),
             save_dir=args.exp_dir,
-            use_diffusion=not args.no_diffusion)
+            use_diffusion=not args.no_diffusion,
+            lpips_fn=lpips_fn)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=50000)
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--image_size", type=int, default=256)
-    p.add_argument("--context_size", type=int, default=3)
+    p.add_argument("--context_size", type=int, default=0,
+                   help="fixed context size; 0 (default) samples 2-5 per "
+                        "step like the reference (train.py:340-343) — at "
+                        "most 4 compiled step variants")
     p.add_argument("--diffusion_batch_size", type=int, default=12)
     p.add_argument("--train_eft", action="store_true", default=True)
     p.add_argument("--no_train_eft", dest="train_eft", action="store_false")
@@ -53,6 +56,9 @@ def main(argv=None):
         enable_persistent_compilation_cache,
     )
 
+    from sparsefusion_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     enable_persistent_compilation_cache()
     from sparsefusion_tpu.cli.demo import load_dataset
     from sparsefusion_tpu.models import build_models, count_params
@@ -102,7 +108,11 @@ def main(argv=None):
 
     dataset = load_dataset(args)
 
-    cfg = TrainConfig(lr=args.lr, context_size=args.context_size,
+    # context_size=0 -> sample 2..5 per step (reference train.py:340-343);
+    # each size is a separate static shape, so at most 4 compiled variants
+    context_sizes = ([args.context_size] if args.context_size > 0
+                     else [2, 3, 4, 5])
+    cfg = TrainConfig(lr=args.lr, context_size=max(context_sizes),
                       diffusion_batch_size=args.diffusion_batch_size,
                       train_eft=args.train_eft,
                       latent_size=args.image_size // 8)
@@ -134,11 +144,12 @@ def main(argv=None):
         scene_ids = host.randint(len(dataset), size=n_dev)
         scenes = [dataset[int(s)] for s in scene_ids]
         query = [int(host.randint(len(s))) for s in scenes]
+        cs = context_sizes[host.randint(len(context_sizes))]
         ctx = []
         for s, q in zip(scenes, query):
             pool = [i for i in range(len(s))]
             host.shuffle(pool)
-            ctx.append(pool[:cfg.context_size])
+            ctx.append(pool[:cs])
         batch = shard_batch(prepare_scene_batch(scenes, query, ctx), mesh)
         rng, k = jax.random.split(rng)
         state, aux = step_fn(state, batch, k)

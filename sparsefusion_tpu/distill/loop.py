@@ -100,6 +100,10 @@ class DistillConfig:
     occupancy_start: int = 500
     occupancy_update_every: int = 16
     occupancy_probe: int = 64
+    # torch-ngp opt density_thresh (``distillation.py:513``) — the raw-sigma
+    # cutoff for marking a grid cell occupied (NOT the density-blob prior
+    # amplitude, which is cfg.ngp.density_blob_scale).
+    density_thresh: float = 10.0
 
 
 def tpu_distill_config(**overrides) -> DistillConfig:
@@ -157,9 +161,16 @@ def _render_cam(ngp_model, ngp_params, cam: Cameras, hw: int,
     tables = ngp_model.apply({"params": ngp_params},
                              method=NGPField.expand_tables)
     field = lambda x: ngp_model.apply({"params": ngp_params}, x, tables)
+    # view-direction background net when bg_radius > 0
+    # (``renderer_df.py:448-456``, ``network_grid.py:211-220``)
+    bg_fn = None
+    if ngp_model.config.bg_radius > 0:
+        bg_fn = lambda d: ngp_model.apply({"params": ngp_params}, d,
+                                          method=NGPField.background)
     out = render_rays_chunked(field, o, d, vcfg, rng, perturb=perturb,
                               det_importance=False, bg_color=0.0,
-                              remat=True, near_far_fn=near_far_fn)
+                              remat=True, near_far_fn=near_far_fn,
+                              bg_fn=bg_fn)
     img = out["image"].reshape(hw, hw, 3)
     sil = out["weights_sum"].reshape(hw, hw, 1)
     return img, sil
@@ -245,7 +256,11 @@ def distillation_loop(
     # ---- Phase B: NGP optimization (distillation.py:163-352) -------------
     ngp_model = NGPField(cfg.ngp)
     rng, k_init = jax.random.split(rng)
-    ngp_params = ngp_model.init(k_init, jnp.zeros((8, 3)))["params"]
+    if cfg.ngp.bg_radius > 0:
+        ngp_params = ngp_model.init(k_init, jnp.zeros((8, 3)),
+                                    method=NGPField.init_all)["params"]
+    else:
+        ngp_params = ngp_model.init(k_init, jnp.zeros((8, 3)))["params"]
     tx = make_ngp_optimizer(cfg)
     opt_state = tx.init(ngp_params)
 
@@ -258,7 +273,7 @@ def distillation_loop(
         )
 
         occ_grid = OccupancyGrid(bound=cfg.bound,
-                                 density_thresh=cfg.ngp.density_blob_scale)
+                                 density_thresh=cfg.density_thresh)
         bitfield = occ_grid.full_bitfield()
 
     def make_nff(bitfield):
@@ -448,6 +463,10 @@ def distillation_loop(
         return img, sil
 
     renders, sils, metrics = [], [], {"psnr": [], "ssim": []}
+    if lpips_fn is not None:
+        # per-scene LPIPS column, matching distillation.py:428-443
+        metrics["lpips"] = []
+        lpips_jit = jax.jit(lambda a, b: lpips_fn(a, b))
     for ci in range(len(scene_vox)):
         rng, k = jax.random.split(rng)
         img, sil = eval_render(ngp_params, get_camera_slice(scene_vox, [ci]),
@@ -458,13 +477,18 @@ def distillation_loop(
         gt = np.asarray(scene_rgb[ci])
         metrics["psnr"].append(psnr(img_np, gt))
         metrics["ssim"].append(ssim(img_np, gt))
+        if lpips_fn is not None:
+            metrics["lpips"].append(
+                float(lpips_jit(img[None], scene_rgb[ci][None])[0]))
 
     summary = {k: float(np.mean(v)) for k, v in metrics.items()}
     if verbose:
         print("warning: this metric is used for debugging only and not the "
               "final metric")
+        extra = (f" lpips: {summary['lpips']:.3f}"
+                 if "lpips" in summary else "")
         print(f"scene {scene.sequence_name} psnr: {summary['psnr']:.2f} "
-              f"ssim: {summary['ssim']:.3f}")
+              f"ssim: {summary['ssim']:.3f}{extra}")
 
     # circle-path orbit renders (distillation.py:460-491)
     circle_renders = []

@@ -53,6 +53,21 @@ class LearnedSinusoidalPosEmb(nn.Module):
             [x[:, None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _use_pallas_attention(n_tokens: int) -> bool:
+    """TPU -> fused VMEM-resident kernel (kernels/attention.py); CPU and
+    the SF_NO_PALLAS_ATTN=1 kill switch -> plain einsum (identical math,
+    parity-tested in tests/test_kernels.py)."""
+    import os
+
+    if os.environ.get("SF_NO_PALLAS_ATTN"):
+        return False
+    return jax.default_backend() == "tpu" and n_tokens >= 64
+
+
 class Attention(nn.Module):
     """Self-attention with a single shared kv head, null kv, and optional
     extra context tokens (imagen_pytorch.py:480-566).
@@ -99,10 +114,19 @@ class Attention(nn.Module):
             k = jnp.concatenate([ck, k], axis=1)
             v = jnp.concatenate([cv, v], axis=1)
 
-        sim = jnp.einsum("bnhd,bjd->bhnj", q, k)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
-        attn = attn.astype(self.dtype)
-        out = jnp.einsum("bhnj,bjd->bnhd", attn, v).reshape(b, n, inner)
+        if _use_pallas_attention(n):
+            from sparsefusion_tpu.kernels.attention import imagen_attention
+
+            qh = jnp.transpose(q, (0, 2, 1, 3))  # (b, h, n, d), pre-scaled
+            out = imagen_attention(qh, k, v,
+                                   block_q=min(512, _ceil8(n)))
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner)
+            out = out.astype(self.dtype)
+        else:
+            sim = jnp.einsum("bnhd,bjd->bhnj", q, k)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            attn = attn.astype(self.dtype)
+            out = jnp.einsum("bhnj,bjd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out")(out)
         return LayerNorm(self.dim, dtype=self.dtype, name="out_norm")(out)

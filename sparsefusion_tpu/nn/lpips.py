@@ -112,5 +112,51 @@ def load_lpips(weights_path: Optional[str] = None):
     if not os.path.exists(weights_path):
         return model, None
     data = np.load(weights_path, allow_pickle=True)
-    params = data["params"].item() if "params" in data else dict(data)
+    if "params" in data and data["params"].dtype == object:
+        params = data["params"].item()
+    else:
+        # flat 'a/b/c' keys (tools/convert_weights.py format)
+        from sparsefusion_tpu.train.checkpoints import load_npz_pytree
+
+        params = load_npz_pytree(weights_path)
     return model, params
+
+
+def build_lpips_fn(spec: Optional[str]):
+    """CLI entry: build ``lpips_fn(img0_01, img1_01) -> (B,)`` from either
+    a converted .npz (``load_lpips``) or a 'vgg16.pth,lpips_vgg.pth' pair
+    of torch checkpoints.  Returns None when weights are unavailable —
+    callers then skip the perceptual term, matching the reference when
+    lpips isn't installed."""
+    if not spec:
+        return None
+    import os
+
+    if "," in spec:
+        vgg_path, lin_path = (s.strip() for s in spec.split(",", 1))
+        if not (os.path.exists(vgg_path) and os.path.exists(lin_path)):
+            print(f"WARNING: lpips weights not found ({spec}); "
+                  "perceptual loss disabled")
+            return None
+        import torch
+
+        vgg_sd = torch.load(vgg_path, map_location="cpu", weights_only=False)
+        if hasattr(vgg_sd, "state_dict"):
+            vgg_sd = vgg_sd.state_dict()
+        lin_sd = torch.load(lin_path, map_location="cpu", weights_only=False)
+        if "state_dict" in lin_sd:
+            lin_sd = lin_sd["state_dict"]
+        params = convert_lpips_weights(vgg_sd, lin_sd)
+        model = LPIPS()
+    else:
+        model, params = load_lpips(spec)
+        if params is None:
+            print(f"WARNING: lpips weights not found ({spec}); "
+                  "perceptual loss disabled")
+            return None
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def lpips_fn(img0, img1):
+        return model.apply({"params": params}, img0, img1, normalize=True)
+
+    return lpips_fn

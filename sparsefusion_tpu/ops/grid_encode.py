@@ -16,9 +16,10 @@ TPU-native re-design of the reference CUDA gridencoder
 Where the CUDA kernel needs an atomicAdd scatter for the backward
 (``gridencoder.cu:296-311``), here the forward is expressed as jnp.take +
 weighted sums and JAX autodiff derives the (deterministic) scatter-add —
-no custom VJP needed.  The Pallas kernel in
-``sparsefusion_tpu/kernels/grid_encode_pallas.py`` accelerates the same
-contract on TPU; this module is the correctness oracle and CPU fallback.
+no custom VJP needed.  The blocked reformulation in
+``sparsefusion_tpu/ops/grid_encode_blocked.py`` accelerates the same
+contract on TPU (one gather row per (point, level), 7.6x measured);
+this module is the correctness oracle and CPU fallback.
 """
 from __future__ import annotations
 

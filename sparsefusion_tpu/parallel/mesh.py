@@ -55,3 +55,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_scene_list(scene_indices, n_shards: int, shard_id: int):
     """Scene-level data parallelism for eval (``demo.py:59`` semantics)."""
     return split_list(list(scene_indices), n_shards)[shard_id]
+
+
+def maybe_init_distributed(verbose: bool = True) -> bool:
+    """Env-gated multi-host rendezvous (replaces the reference's
+    MASTER_ADDR/MASTER_PORT + ``dist.init_process_group`` launch,
+    ``demo.py:108-137``, ``train.py:546-568``).
+
+    Set on every host before launching:
+
+        SF_COORDINATOR=<host0-addr:port>   (e.g. 10.0.0.1:1234)
+        SF_NUM_PROCESSES=<n hosts>
+        SF_PROCESS_ID=<this host's rank>
+
+    Plain ``jax.distributed.initialize()`` auto-detection still applies on
+    TPU pods when only ``SF_DISTRIBUTED=1`` is set.  Returns True if
+    initialization ran.  Must be called before the backend initializes.
+    """
+    import os
+
+    coord = os.environ.get("SF_COORDINATOR")
+    if coord:
+        num = int(os.environ["SF_NUM_PROCESSES"])
+        pid = int(os.environ["SF_PROCESS_ID"])
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=num, process_id=pid)
+    elif os.environ.get("SF_DISTRIBUTED"):
+        jax.distributed.initialize()
+    else:
+        return False
+    if verbose:
+        print(f"jax.distributed: process {jax.process_index()} / "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+    return True

@@ -118,7 +118,8 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 perturb: bool = False,
                 det_importance: bool = False,
                 bg_color: float = 0.0,
-                near_far_fn: Optional[Callable] = None):
+                near_far_fn: Optional[Callable] = None,
+                bg_fn: Optional[Callable] = None):
     """Render a flat batch of rays.
 
     Args:
@@ -127,6 +128,9 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         rng: required if perturb or not det_importance.
         near_far_fn: optional (o, d, near, far) -> (near, far) refinement,
             e.g. occupancy-guided interval tightening.
+        bg_fn: optional (N, 3) directions -> (N, 3) background color (the
+            bg_radius>0 path, ``renderer_df.py:448-456``); overrides
+            bg_color.
 
     Returns:
         dict(image (N,3), depth (N,), weights_sum (N,), mask (N,)).
@@ -190,6 +194,8 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     ori_z = jnp.clip((z_vals - nears_c) / (fars_c - nears_c), 0.0, 1.0)
     depth = jnp.sum(weights * ori_z, axis=-1)
     image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    if bg_fn is not None:
+        bg_color = bg_fn(rays_d)
     image = image + (1.0 - weights_sum)[..., None] * bg_color
 
     return {
@@ -207,7 +213,8 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
                         det_importance: bool = True,
                         bg_color: float = 0.0,
                         remat: bool = False,
-                        near_far_fn: Optional[Callable] = None):
+                        near_far_fn: Optional[Callable] = None,
+                        bg_fn: Optional[Callable] = None):
     """Memory-staged rendering via lax.map over max_ray_batch chunks
     (replaces ``renderer_df.py:643-679`` staged path).
 
@@ -231,7 +238,7 @@ def render_rays_chunked(field_fn: Callable, rays_o: jnp.ndarray,
     def body(args):
         oo, dd, kk = args
         return render_rays(field_fn, oo, dd, cfg, kk, perturb,
-                           det_importance, bg_color, near_far_fn)
+                           det_importance, bg_color, near_far_fn, bg_fn)
 
     if remat:
         body = jax.checkpoint(body)
