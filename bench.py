@@ -13,8 +13,11 @@ BASELINE metric set, measured on the shipped TPU preset
 (``tpu_distill_config``: 8x4 bf16 tables, 32+32 samples, 16k-ray chunks):
 
 * ``ngp_render_rays_per_sec``      — 128^2 render, forward only
-* ``ngp_train_rays_per_sec``       — full input step (fwd+bwd+adam)
+* ``ngp_train_rays_per_sec``       — input step (fwd+bwd+adam)
 * ``input_step_ms``                — per-iteration photometric step
+                                     (the preset's 4096-ray subsample)
+* ``full_grad_step_ms``            — full-image fwd+bwd+adam (the
+                                     fusion grad step's render cost)
 * ``vae_encode_ms`` / ``vae_decode_ms`` — 256^2 <-> 32^2x4 latents
 * ``est_distill_scene_minutes``    — 3000-iter scene estimate:
       1000 x (input + bootstrap~=input) + 2000 x (input + fusion), where
@@ -97,7 +100,7 @@ def main():
         f"({time.time() - _t_start:.0f}s)")
 
     # ---- 2. NGP render + input step on the shipped TPU preset ------------
-    dt_in = dt_render = None
+    dt_in = dt_render = dt_full = None
     try:
         if over_budget():
             raise TimeoutError("budget")
@@ -165,30 +168,53 @@ def main():
         gt_mask_ds = resize_nearest(gt_mask[None],
                                     (render_hw, render_hw))[0]
 
-        def in_losses(p, key):
+        def in_losses(p, key, sub_rays):
+            ray_idx = None
+            tgt_rgb, tgt_mask = gt_rgb_ds, gt_mask_ds
+            if sub_rays:
+                k_sel, key = jax.random.split(key)
+                ray_idx = jax.random.randint(k_sel, (sub_rays,), 0, n_rays)
+                tgt_rgb = jnp.take(gt_rgb_ds.reshape(-1, 3), ray_idx,
+                                   axis=0)
+                tgt_mask = jnp.take(gt_mask_ds.reshape(-1, 1), ray_idx,
+                                    axis=0)
             img, sil = _render_cam(ngp_model, p, cam, render_hw, vcfg, key,
-                                   perturb=True, near_far_fn=nff)
-            loss = jnp.mean(jnp.abs(huber(img, gt_rgb_ds)))
-            loss += jnp.mean(jnp.abs(huber(sil, gt_mask_ds)))
+                                   perturb=True, near_far_fn=nff,
+                                   ray_idx=ray_idx, remat=cfg.remat)
+            loss = jnp.mean(jnp.abs(huber(img, tgt_rgb)))
+            loss += jnp.mean(jnp.abs(huber(sil, tgt_mask)))
             loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
             return loss
 
-        @jax.jit
-        def input_step(p, o):
-            loss, grads = jax.value_and_grad(in_losses)(
-                p, jax.random.PRNGKey(1))
-            updates, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o, loss
+        def make_step(sub_rays):
+            @jax.jit
+            def input_step(p, o):
+                loss, grads = jax.value_and_grad(in_losses)(
+                    p, jax.random.PRNGKey(1), sub_rays)
+                updates, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o, loss
 
-        def chain_step(carry):
-            p, o = carry
-            p, o, _ = input_step(p, o)
-            return (p, o)
+            def chain_step(carry):
+                p, o = carry
+                p, o, _ = input_step(p, o)
+                return (p, o)
 
-        dt_in = timeit(chain_step, (ngp_params, opt_state), n1=3, n2=12)
+            return chain_step
+
+        # the shipped preset's input/bootstrap step (subsampled rays)
+        dt_in = timeit(make_step(cfg.input_rays), (ngp_params, opt_state),
+                       n1=3, n2=12)
         extra["input_step_ms"] = round(1e3 * dt_in, 1)
-        extra["ngp_train_rays_per_sec"] = round(n_rays / dt_in)
+        extra["ngp_train_rays_per_sec"] = round(
+            (cfg.input_rays or n_rays) / dt_in)
         log(f"[bench] input step {1e3 * dt_in:.0f} ms "
+            f"({time.time() - _t_start:.0f}s)")
+
+        # the fusion grad step renders the full image (VAE/LPIPS need it)
+        dt_full = timeit(make_step(None), (ngp_params, opt_state),
+                         n1=3, n2=12)
+        extra["full_grad_step_ms"] = round(1e3 * dt_full, 1)
+        log(f"[bench] full grad step {1e3 * dt_full:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
     except Exception as e:  # noqa: BLE001 — report what we have
         log(f"[bench] ngp section skipped: {type(e).__name__}: {e}")
@@ -233,9 +259,11 @@ def main():
         log(f"[bench] vae section skipped: {type(e).__name__}: {e}")
 
     # ---- 4. scene-minutes estimate ----------------------------------------
-    if dt_in is not None and dt_render is not None and dt_enc is not None:
+    if None not in (dt_in, dt_render, dt_enc, dt_full):
+        # fusion iter = subsampled input step + full no-grad render +
+        # VAE enc/dec + avg PLMS UNet evals + full-image grad step
         fusion_s = (dt_render + dt_enc
-                    + AVG_PLMS_UNET_EVALS * dt_unet + dt_in)
+                    + AVG_PLMS_UNET_EVALS * dt_unet + dt_full)
         bootstrap_iter_s = dt_in + dt_in  # bootstrap step ~= input step
         fusion_iter_s = dt_in + fusion_s
         est_min = (1000 * bootstrap_iter_s + 2000 * fusion_iter_s) / 60.0

@@ -104,21 +104,43 @@ class DistillConfig:
     # cutoff for marking a grid cell occupied (NOT the density-blob prior
     # amplitude, which is cfg.ngp.density_blob_scale).
     density_thresh: float = 10.0
+    # input/bootstrap steps on a random ray subset instead of the full
+    # render_hw^2 grid (torch-ngp's own NeRF training idiom): the huber
+    # photometric + silhouette losses are means over pixels, so a uniform
+    # pixel subset is an unbiased estimate at 1/4 the points.  The fusion
+    # step always renders the full image (the VAE needs it).  None = full
+    # grid (the reference renders full images every step).
+    input_rays: Optional[int] = None
+    # fusion GRAD step on a ray subset, comparing against the
+    # box-downsampled PLMS prediction at render_hw — only taken when the
+    # perceptual term is inactive (LPIPS needs the full image; with
+    # lpips_fn set the grad step always renders the full grid).  The
+    # no-grad render feeding the VAE is always full.
+    fusion_rays: Optional[int] = None
+    # store render residuals instead of re-rendering chunks in backward
+    # (chunked renders at tpu-preset sizes fit HBM comfortably)
+    remat: bool = True
 
 
 def tpu_distill_config(**overrides) -> DistillConfig:
     """TPU-tuned preset: fewer/wider hash levels (8 x C4 keeps the same
     32-d encoding but halves gather rows — the TPU bottleneck),
     occupancy-guided 32+32 sampling after warmup, bf16 expanded tables,
-    and one 16k-ray chunk per 128^2 render (measured 873 -> 642 ms per
-    input step vs the 4096-chunk fp32 variant).  Same capability, ~4x
-    fewer table gathers per render than the reference layout."""
+    one 16k-ray chunk per 128^2 render, stored render residuals instead
+    of remat (v5e HBM fits them comfortably), and 4096-ray subsampled
+    input/bootstrap steps (the torch-ngp NeRF-training idiom; unbiased
+    for the pixel-mean losses).  Measured on v5e: 641 -> 132 ms per
+    input step across round 2 (benchmarks/render_decompose.py; fusion
+    grad steps render the full image and measure 407 ms)."""
     base = dict(
         ngp=NGPConfig(num_levels=8, level_dim=4, table_dtype="bfloat16"),
         use_occupancy=True,
         num_steps=32,
         upsample_steps=32,
         max_ray_batch=16384,
+        input_rays=4096,
+        fusion_rays=4096,
+        remat=False,
     )
     base.update(overrides)
     return DistillConfig(**base)
@@ -153,10 +175,14 @@ def _scene_depth_range(cams: Cameras):
 
 def _render_cam(ngp_model, ngp_params, cam: Cameras, hw: int,
                 vcfg: VolumeRendererConfig, rng, perturb: bool,
-                near_far_fn=None):
+                near_far_fn=None, ray_idx=None, remat: bool = True):
+    """Render a camera; with ``ray_idx`` (K,) only those grid rays."""
     bundle = grid_ray_bundle(cam, hw, hw, 2, 1.0, 2.0)
     o = bundle.origins.reshape(-1, 3)
     d = bundle.directions.reshape(-1, 3)
+    if ray_idx is not None:
+        o = jnp.take(o, ray_idx, axis=0)
+        d = jnp.take(d, ray_idx, axis=0)
     # expand the blocked grid tables once per render, shared by all chunks
     tables = ngp_model.apply({"params": ngp_params},
                              method=NGPField.expand_tables)
@@ -169,8 +195,10 @@ def _render_cam(ngp_model, ngp_params, cam: Cameras, hw: int,
                                           method=NGPField.background)
     out = render_rays_chunked(field, o, d, vcfg, rng, perturb=perturb,
                               det_importance=False, bg_color=0.0,
-                              remat=True, near_far_fn=near_far_fn,
+                              remat=remat, near_far_fn=near_far_fn,
                               bg_fn=bg_fn)
+    if ray_idx is not None:
+        return out["image"], out["weights_sum"][:, None]
     img = out["image"].reshape(hw, hw, 3)
     sil = out["weights_sum"].reshape(hw, hw, 1)
     return img, sil
@@ -283,16 +311,36 @@ def distillation_loop(
             bitfield, o, d, n, f, cfg.bound, occ_grid.grid_size,
             occ_grid.cascade, cfg.occupancy_probe)[:2]
 
+    def _ray_subset(key):
+        """(ray_idx, render_key): uniform pixel subset (with replacement)
+        of the render_hw grid — unbiased for the pixel-mean losses."""
+        if not cfg.input_rays or cfg.input_rays >= render_hw * render_hw:
+            return None, key
+        k_sel, k_render = jax.random.split(key)
+        ray_idx = jax.random.randint(k_sel, (cfg.input_rays,), 0,
+                                     render_hw * render_hw)
+        return ray_idx, k_render
+
+    def _at_rays(img_hw, ray_idx):
+        if ray_idx is None:
+            return img_hw
+        flat = img_hw.reshape(-1, img_hw.shape[-1])
+        return jnp.take(flat, ray_idx, axis=0)
+
     def input_losses(params, cam, gt_rgb, gt_mask, key, bitfield):
+        ray_idx, key = _ray_subset(key)
         img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
-                               perturb=True, near_far_fn=make_nff(bitfield))
+                               perturb=True, near_far_fn=make_nff(bitfield),
+                               ray_idx=ray_idx, remat=cfg.remat)
         gt_rgb_ds = resize_nearest(gt_rgb[None], (render_hw, render_hw))[0]
-        color_err = jnp.mean(jnp.abs(huber(img, gt_rgb_ds)))
+        color_err = jnp.mean(jnp.abs(huber(img, _at_rays(gt_rgb_ds,
+                                                         ray_idx))))
         loss = cfg.lambda_color * color_err
         if gt_mask is not None:
             gt_mask_ds = resize_nearest(gt_mask[None],
                                         (render_hw, render_hw))[0]
-            loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, gt_mask_ds)))
+            loss += cfg.lambda_sil * jnp.mean(
+                jnp.abs(huber(sil, _at_rays(gt_mask_ds, ray_idx))))
         if cfg.lambda_opacity > 0:
             loss += cfg.lambda_opacity * jnp.mean(
                 jnp.sqrt(sil ** 2 + 0.01))
@@ -307,16 +355,31 @@ def distillation_loop(
 
     def _render_up(params, cam, key, bitfield):
         img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
-                               perturb=True, near_far_fn=make_nff(bitfield))
+                               perturb=True, near_far_fn=make_nff(bitfield),
+                               remat=cfg.remat)
         img = resize_bilinear(img[None], (image_size, image_size))[0]
         sil = resize_bilinear(sil[None], (image_size, image_size))[0]
         return img, sil
 
     def bootstrap_losses(params, cam, eft_img, key, bitfield):
-        img, sil = _render_up(params, cam, key, bitfield)
-        noisy_mask = jnp.mean(eft_img, axis=-1, keepdims=True)
+        if cfg.input_rays:
+            # subsampled variant: compare at render_hw scale against the
+            # box-downsampled EFT target (the full-grid reference path
+            # compares the bilinear-upsampled render at image_size)
+            ray_idx, key = _ray_subset(key)
+            img, sil = _render_cam(
+                ngp_model, params, cam, render_hw, vcfg, key, perturb=True,
+                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
+                remat=cfg.remat)
+            eft_ds = resize_bilinear(eft_img[None],
+                                     (render_hw, render_hw))[0]
+            target = _at_rays(eft_ds, ray_idx)
+        else:
+            img, sil = _render_up(params, cam, key, bitfield)
+            target = eft_img
+        noisy_mask = jnp.mean(target, axis=-1, keepdims=True)
         noisy_mask = (noisy_mask > 0.1).astype(jnp.float32)
-        loss = cfg.lambda_color * jnp.mean(jnp.abs(huber(img, eft_img)))
+        loss = cfg.lambda_color * jnp.mean(jnp.abs(huber(img, target)))
         loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, noisy_mask)))
         loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
         return loss
@@ -375,10 +438,29 @@ def distillation_loop(
         img = fusion_render_fwd(params, cam, k_r, bitfield)
         return fusion_sample(img, features, k_t, k_s)
 
+    use_percep = lpips_fn is not None and cfg.lambda_percep > 0
+    subsample_fusion = bool(cfg.fusion_rays) and not use_percep \
+        and cfg.fusion_rays < render_hw * render_hw
+
     def fusion_losses(params, cam, pred_img, fusion_weight, k_r, bitfield):
+        if subsample_fusion:
+            k_sel, k_r = jax.random.split(k_r)
+            ray_idx = jax.random.randint(k_sel, (cfg.fusion_rays,), 0,
+                                         render_hw * render_hw)
+            img, sil = _render_cam(
+                ngp_model, params, cam, render_hw, vcfg, k_r, perturb=True,
+                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
+                remat=cfg.remat)
+            pred_ds = resize_bilinear(pred_img[None],
+                                      (render_hw, render_hw))[0]
+            loss = fusion_weight * jnp.mean(
+                jnp.abs(img - _at_rays(pred_ds, ray_idx)))
+            loss += cfg.lambda_opacity * jnp.mean(
+                jnp.sqrt(sil ** 2 + 0.01))
+            return loss
         img, sil = _render_up(params, cam, k_r, bitfield)
         loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
-        if lpips_fn is not None and cfg.lambda_percep > 0:
+        if use_percep:
             # perceptual term active after start_fusion_step
             # (distillation.py:176-178, 312-314); grads flow through img
             loss += cfg.lambda_percep * jnp.mean(

@@ -120,14 +120,13 @@ def expand_blocked_tables(master: jnp.ndarray,
     """Build the (total_rows, width) blocked table gather-free.
 
     Entry (k, l*C+c) of a level sits at flat-master position
-    ``(B*C*k + delta_l*C + c) mod (S*C)`` — for fixed (l, c) that is a
-    stride-B*C slice of the rolled 1D level slice.  The whole table
-    therefore assembles from rolls + strided 1D slices (pure memory
-    moves): no gather op and no index constants.  (Multi-MB index arrays
-    unavoidably reach XLA as literals — measured 95MB literals / 7-min
-    remote compiles — and a consolidated 33M-row gather OOM'd at 16GB of
-    padded temporaries.)  Column-major assembly keeps every intermediate
-    1D; one final transpose yields the row-major gatherable table.
+    ``(B*C*k + delta_l*C + c) mod (S*C)`` — for fixed lane l the C
+    channels are consecutive, so one roll by ``-delta_l*C`` + a reshape
+    to (n_rows, B*C) + a [:, :C] slice materializes the whole (n_rows, C)
+    lane block (pure memory moves): no gather op and no index constants.
+    (Multi-MB index arrays unavoidably reach XLA as literals — measured
+    95MB literals / 7-min remote compiles — and a consolidated 33M-row
+    gather OOM'd at 16GB of padded temporaries.)
     """
     C = master.shape[-1]
     flat = master.reshape(-1)
@@ -136,18 +135,21 @@ def expand_blocked_tables(master: jnp.ndarray,
     for lv in blk.levels:
         fl = jax.lax.dynamic_slice_in_dim(flat, lv.offset * C,
                                           lv.size * C, axis=0)
-        cols = []
-        for j in range(blk.width):
-            l, c = j // C, j % C
-            if l < lv.lanes:
-                shift = (int(lv.deltas[l]) * C + c) % (lv.size * C)
-                r = jnp.roll(fl, -shift)
-                cols.append(r.reshape(lv.n_rows, BC)[:, 0])
-            else:
-                cols.append(jnp.zeros((lv.n_rows,), master.dtype))
-        level_mats.append(jnp.stack(cols, axis=0))       # (W, n_rows)
-    mat = jnp.concatenate(level_mats, axis=1)            # (W, total_rows)
-    return mat.T
+        # one roll per LANE covers all C channels at once (the channel
+        # shifts delta*C + c are consecutive): roll by -delta*C, reshape
+        # to (n_rows, B*C), take the first C columns.  4x fewer ops than
+        # per-column rolls — op dispatch, not bytes, dominates here (and
+        # the autodiff adjoint shrinks identically).
+        blocks = []
+        for l in range(lv.lanes):
+            shift = (int(lv.deltas[l]) * C) % (lv.size * C)
+            r = jnp.roll(fl, -shift)
+            blocks.append(r.reshape(lv.n_rows, BC)[:, :C])
+        if lv.lanes * C < blk.width:
+            blocks.append(jnp.zeros(
+                (lv.n_rows, blk.width - lv.lanes * C), master.dtype))
+        level_mats.append(jnp.concatenate(blocks, axis=1))  # (n_rows, W)
+    return jnp.concatenate(level_mats, axis=0)           # (total_rows, W)
 
 
 def _axis_weights(local: jnp.ndarray, frac: jnp.ndarray,
@@ -180,8 +182,9 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
     shift = {2: 1, 4: 2}[blk.block]
     mask = blk.block - 1
     nb = blk.block + 1
+    max_lanes = W // C
 
-    out_chans = [[] for _ in range(C)]
+    level_outs = []
     for lv in blk.levels:
         pos = x01 * lv.scale + 0.5
         pos_grid = jnp.floor(pos)
@@ -209,19 +212,23 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
             w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, nb ** 2)
         else:
             w = wx
-        w2 = jnp.repeat(w, C, axis=1)                    # (N, lanes*C)
-        if w2.shape[1] < W:
-            w2 = jnp.pad(w2, ((0, 0), (0, W - w2.shape[1])))
+        if w.shape[1] < max_lanes:
+            w = jnp.pad(w, ((0, 0), (0, max_lanes - w.shape[1])))
 
         # per-level gather keeps peak temporaries at (N, W); a consolidated
         # (L*N, W) single gather OOM'd (16 GB padded temps) at render sizes
         rows = jnp.take(table, krow, axis=0)             # (N, W)
-        prod = w2.astype(table.dtype) * rows
-        for c in range(C):
-            out_chans[c].append(jnp.sum(prod[:, c::C], axis=1))  # (N,)
+        # contraction over lanes via a (N, lanes, C) reshape (the row
+        # layout is lane-major, so the reshape is free) — one fused
+        # multiply-reduce instead of repeat + C strided sums, whose
+        # adjoints materialized several (N, W) temporaries each
+        # (measured ~137 ms of the 641 ms input step)
+        rows3 = rows.reshape(N, max_lanes, C)
+        out_l = jnp.einsum("nl,nlc->nc", w.astype(table.dtype), rows3,
+                           preferred_element_type=jnp.float32)
+        level_outs.append(out_l)                          # (N, C)
 
-    chans = [jnp.stack(ch, axis=1) for ch in out_chans]  # C x (N, L)
-    out = jnp.stack(chans, axis=-1).reshape(N, L * C)    # level-major
+    out = jnp.stack(level_outs, axis=1).reshape(N, L * C)  # level-major
     return jnp.where(oob[:, None], 0.0, out)
 
 

@@ -63,3 +63,39 @@ def test_distillation_photometric_only_learns(tmp_path):
     # loss decreased and inputs reasonably reconstructed
     assert np.mean(out["losses"][-10:]) < np.mean(out["losses"][:10])
     assert out["metrics"]["psnr"] > 14.0
+
+
+@pytest.mark.slow
+def test_distillation_subsampled_input_rays(tmp_path):
+    """input_rays subsampling: loop runs and fits like the full-grid path."""
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=3, image_size=32, seed=2)
+    cfg = DistillConfig(
+        max_itr=150, start_fusion_step=10 ** 9, n_aug_cameras=2,
+        num_steps=16, upsample_steps=16, max_ray_batch=256,
+        input_rays=64, remat=False,
+        ngp=NGPConfig(num_levels=6, log2_hashmap_size=12))
+    out = distillation_loop(models, scene, [0, 1, 2], cfg,
+                            jax.random.PRNGKey(1), use_diffusion=False,
+                            verbose=False)
+    assert np.isfinite(out["losses"]).all()
+    # learns the scene from subsampled rays too
+    assert out["metrics"]["psnr"] > 14.0, out["metrics"]
+
+
+@pytest.mark.slow
+def test_distillation_subsampled_fusion(tmp_path):
+    """fusion_rays: subsampled fusion grad step runs with finite losses."""
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=4, image_size=64, seed=0)
+    cfg = DistillConfig(
+        max_itr=4, start_fusion_step=1, n_aug_cameras=2,
+        plms_steps=4, num_steps=8, upsample_steps=8, max_ray_batch=512,
+        input_rays=64, fusion_rays=64, remat=False,
+        ngp=NGPConfig(num_levels=4, log2_hashmap_size=10))
+    out = distillation_loop(models, scene, [0, 1], cfg,
+                            jax.random.PRNGKey(1), use_diffusion=True,
+                            verbose=False)
+    assert np.isfinite(out["losses"]).all()
+    assert np.isfinite(out["fusion_losses"]).all()
+    assert len(out["fusion_losses"]) == 4
