@@ -138,13 +138,18 @@ def main(argv=None):
     for sub in ("log", "metrics", "render_imgs", "render_gifs"):
         os.makedirs(os.path.join(args.exp_dir, sub), exist_ok=True)
 
-    models = build_models(jax.random.PRNGKey(0))
-    models = maybe_import_reference_weights(
-        models, args.eft_ckpt, args.vae_ckpt, args.vldm_ckpt)
-    if args.eft_ckpt is None:
-        # the reference EFT always starts from an ImageNet trunk
-        # (eft.py:99); without an EFT ckpt, load it separately if given
-        models = import_resnet18_trunk(models, args.resnet18)
+    if args.no_diffusion:
+        # NGP-only path: the EFT/VAE/UNet trio is never applied, and
+        # building it costs minutes of host tracing — skip it entirely
+        models = None
+    else:
+        models = build_models(jax.random.PRNGKey(0))
+        models = maybe_import_reference_weights(
+            models, args.eft_ckpt, args.vae_ckpt, args.vldm_ckpt)
+        if args.eft_ckpt is None:
+            # the reference EFT always starts from an ImageNet trunk
+            # (eft.py:99); without an EFT ckpt, load it separately if given
+            models = import_resnet18_trunk(models, args.resnet18)
     lpips_fn = build_lpips_fn(args.lpips_weights)
 
     dataset = load_dataset(args)

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--preset", type=str, default="sf",
                    choices=["sf", "tiny"],
                    help="'tiny' swaps in small model configs (smoke tests)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans: error at the first op "
+                        "producing a NaN with its provenance (the "
+                        "torch.autograd.set_detect_anomaly analogue, "
+                        "reference train.py:327)")
     args = p.parse_args(argv)
     args.vae_ckpt = None if args.vae == "-DNE" else args.vae
     return args
@@ -60,6 +65,8 @@ def main(argv=None):
 
     maybe_init_distributed()
     enable_persistent_compilation_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     from sparsefusion_tpu.cli.demo import load_dataset
     from sparsefusion_tpu.models import build_models, count_params
     from sparsefusion_tpu.parallel.mesh import (
@@ -76,6 +83,7 @@ def main(argv=None):
         TrainConfig,
         make_optimizers,
         make_train_step,
+        notfinite_count,
         prepare_scene_batch,
     )
 
@@ -139,6 +147,7 @@ def main(argv=None):
 
     host = np.random.RandomState(jax.process_index())
     rng = jax.random.PRNGKey(1234 + jax.process_index())
+    n_skipped = 0
     t0 = time.time()
     for step in range(start_step, args.steps):
         scene_ids = host.randint(len(dataset), size=n_dev)
@@ -158,6 +167,14 @@ def main(argv=None):
             loss = float(aux["loss"])
             sps = (step - start_step + 1) / (time.time() - t0)
             print(f"step {step} loss {loss:.4f} ({sps:.2f} steps/s)")
+            # non-finite-guard diagnostics (train.py:426-432 analogue):
+            # name the scenes in the batch so a bad sequence is traceable
+            skipped = notfinite_count(state["opt_state"])
+            if skipped > n_skipped:
+                print(f"WARNING: {skipped - n_skipped} update(s) skipped "
+                      f"on non-finite grads (total {skipped}); last batch "
+                      f"scenes {list(map(int, scene_ids))}")
+                n_skipped = skipped
 
         # visualization grids (train.py:452-455 equivalent)
         if args.vis_itr > 0 and step % args.vis_itr == 0 and step > 0 \

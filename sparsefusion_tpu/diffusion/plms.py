@@ -18,6 +18,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Callable, Optional
 
 import jax
@@ -171,6 +172,144 @@ def _xprev_jit(ddpm: DDPM):
     return _XPREV_JIT_CACHE[key]
 
 
+_EVAL_EPS_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _eval_eps_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
+                  batch: int):
+    """One jitted CFG epsilon evaluation for the host loop.
+
+    Fuses get_condition + two denoiser applies + the cond-scale combine
+    into a single dispatch (t is a traced weak-typed scalar, so every
+    sampler step hits the same executable).  Keyed weakly on
+    ``denoise_fn`` so a freed closure cannot alias a recycled ``id``.
+    """
+    per_fn = _EVAL_EPS_JIT_CACHE.setdefault(denoise_fn, {})
+    key = (ddpm.config, float(cond_scale), batch)
+    if key not in per_fn:
+        sched = ddpm.schedule
+
+        @jax.jit
+        def f(x, t, cond_images):
+            cond = sched.get_condition(jnp.full((batch,), t))
+            return ddpm.forward_with_cond_scale(denoise_fn, x, cond,
+                                                cond_images, cond_scale)
+
+        per_fn[key] = f
+    return per_fn[key]
+
+
+_SCAN_TAIL_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _scan_tail_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
+                   batch: int, plms_steps: int):
+    """Steps 1..plms_steps-1 as ONE jitted masked ``lax.scan``.
+
+    The scan body holds a single CFG epsilon eval (2 UNet applies) + the
+    AB combine — the same compile footprint as ``_eval_eps_jit`` — but
+    replaces ~2 dispatches x ~49 steps with one dispatch per fusion
+    iteration.  Bit-parity with :func:`plms_sample`'s scan: identical
+    body code and key chain (asserted in tests/test_plms_host.py).
+    """
+    per_fn = _SCAN_TAIL_JIT_CACHE.setdefault(denoise_fn, {})
+    key = (ddpm.config, float(cond_scale), batch, plms_steps)
+    if key not in per_fn:
+        sched = ddpm.schedule
+
+        @jax.jit
+        def f(carry_key, img1, hist, count, n_steps, t_pairs, cond_images):
+            def eval_eps(x, t):
+                return ddpm.forward_with_cond_scale(
+                    denoise_fn, x, sched.get_condition(jnp.full((batch,), t)),
+                    cond_images, cond_scale)
+
+            def tfull(t):
+                return jnp.full((batch,), t)
+
+            def ab_combine(order_idx, e_t, hist):
+                def ab2(_):
+                    return (3 * e_t - hist[0]) / 2
+
+                def ab3(_):
+                    return (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12
+
+                def ab4(_):
+                    return (55 * e_t - 59 * hist[0] + 37 * hist[1]
+                            - 9 * hist[2]) / 24
+
+                return jax.lax.switch(order_idx, [ab2, ab3, ab4], None)
+
+            def body(carry, inp):
+                img, hist, count, k = carry
+                i, t, t_next = inp
+
+                def do(_):
+                    k1, k2 = jax.random.split(k)
+                    e_t = eval_eps(img, t)
+                    e_prime = ab_combine(jnp.minimum(count, 3) - 1, e_t,
+                                         hist)
+                    x_prev, _ = _x_prev_from_eps(
+                        ddpm, k1, img, tfull(t), tfull(t_next), e_prime)
+                    new_hist = jnp.stack([e_t, hist[0], hist[1]])
+                    return x_prev, new_hist, jnp.minimum(count + 1, 4), k2
+
+                def skip(_):
+                    return img, hist, count, k
+
+                return jax.lax.cond(i < n_steps, do, skip, None), None
+
+            idxs = jnp.arange(1, plms_steps, dtype=jnp.int32)
+            inps = (idxs, t_pairs[1:, 0], t_pairs[1:, 1])
+            (img, _, _, _), _ = jax.lax.scan(
+                body, (img1, hist, count, carry_key), inps)
+            return img
+
+        per_fn[key] = f
+    return per_fn[key]
+
+
+_COMBINE_JIT_CACHE: dict = {}
+
+
+def _combine_step_jit(ddpm: DDPM, batch: int):
+    """One jitted AB-combine + x_prev step for the host loop (steps >= 1).
+
+    lax.switch on the AB order keeps it a single program for all steps —
+    the host loop otherwise dispatches ~15 small eager ops per sampler
+    step, which through a remote-dispatch relay dominates the UNet eval.
+    The per-step key split lives inside (same chain as the scan body, so
+    bit-parity with :func:`plms_sample` is preserved); t/t_next are
+    traced weak-typed scalars, so one executable serves every step.
+    """
+    key = (ddpm.config, batch)
+    if key not in _COMBINE_JIT_CACHE:
+
+        @jax.jit
+        def f(rng, x, t, t_next, e_t, hist, count):
+            def ab2(_):
+                return (3 * e_t - hist[0]) / 2
+
+            def ab3(_):
+                return (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12
+
+            def ab4(_):
+                return (55 * e_t - 59 * hist[0] + 37 * hist[1]
+                        - 9 * hist[2]) / 24
+
+            k1, rng_next = jax.random.split(rng)
+            e_prime = jax.lax.switch(jnp.minimum(count, 3) - 1,
+                                     [ab2, ab3, ab4], None)
+            tf = jnp.full((batch,), t)
+            tnf = jnp.full((batch,), t_next)
+            x_prev, _ = _x_prev_from_eps(ddpm, k1, x, tf, tnf, e_prime)
+            new_hist = jnp.stack([e_t, hist[0], hist[1]])
+            return x_prev, new_hist, jnp.minimum(count + 1, 4), rng_next
+
+        _COMBINE_JIT_CACHE[key] = f
+    return _COMBINE_JIT_CACHE[key]
+
+
 def plms_sample_host(
     ddpm: DDPM,
     denoise_fn: Callable,
@@ -180,6 +319,7 @@ def plms_sample_host(
     cond_images: Optional[jnp.ndarray] = None,
     cond_scale: float = 1.0,
     plms_steps: int = 50,
+    scan_tail: Optional[bool] = None,
 ):
     """Host-driven PLMS: a Python loop over one small jitted x_prev
     program and per-step denoiser calls.
@@ -205,21 +345,21 @@ def plms_sample_host(
                  for i in range(plms_steps + 1)]
 
     xprev = _xprev_jit(ddpm)
+    eps_fn = _eval_eps_jit(ddpm, denoise_fn, cond_scale, batch)
 
     def tfull(t):
         return jnp.full((batch,), t)
 
     def eval_eps(x, t):
-        return ddpm.forward_with_cond_scale(
-            denoise_fn, x, sched.get_condition(tfull(t)), cond_images,
-            cond_scale)
+        return eps_fn(x, float(t), cond_images)
 
     k_init, key = jax.random.split(rng)
     init_noise = jax.random.normal(k_init, image.shape, image.dtype)
     x_noisy, log_snr = sched.q_sample(image, max_thres, init_noise)
     img = image if full_start else x_noisy
 
-    old_eps = []
+    combine = _combine_step_jit(ddpm, batch)
+    hist = count = None
     if n_steps > 0:
         key, sub = jax.random.split(key)
         k1, k2, k3 = jax.random.split(sub, 3)
@@ -229,25 +369,36 @@ def plms_sample_host(
         e_t_next = eval_eps(x_prev1, t_next)
         e_prime = (e_t + e_t_next) / 2
         img = xprev(k2, img, tfull(t), tfull(t_next), e_prime)
-        old_eps.append(e_t)
+        z = jnp.zeros_like(e_t)
+        hist = jnp.stack([e_t, z, z])
+        count = jnp.int32(1)
 
-    for i in range(1, plms_steps):
-        if i >= n_steps:
-            continue
-        t, t_next = times_all[i], times_all[i + 1]
-        k1, key = jax.random.split(key)
-        e_t = eval_eps(img, t)
-        if len(old_eps) == 1:
-            e_prime = (3 * e_t - old_eps[-1]) / 2
-        elif len(old_eps) == 2:
-            e_prime = (23 * e_t - 16 * old_eps[-1] + 5 * old_eps[-2]) / 12
-        else:
-            e_prime = (55 * e_t - 59 * old_eps[-1] + 37 * old_eps[-2]
-                       - 9 * old_eps[-3]) / 24
-        img = xprev(k1, img, tfull(t), tfull(t_next), e_prime)
-        old_eps.append(e_t)
-        if len(old_eps) >= 4:
-            old_eps.pop(0)
+    if scan_tail is None:
+        import os
+
+        scan_tail = bool(os.environ.get("SF_PLMS_SCAN_TAIL"))
+
+    if scan_tail and n_steps > 1:
+        # one jitted masked scan for steps 1..S-1 (one dispatch instead
+        # of ~2 x 49); body code identical to plms_sample's -> bit-parity
+        tail = _scan_tail_jit(ddpm, denoise_fn, cond_scale, batch,
+                              plms_steps)
+        t_pairs = jnp.asarray(
+            [[times_all[i], times_all[i + 1]]
+             for i in range(plms_steps)], jnp.float32)
+        img = tail(key, img, hist, count, jnp.int32(n_steps), t_pairs,
+                   cond_images)
+    else:
+        for i in range(1, plms_steps):
+            if i >= n_steps:
+                continue
+            t, t_next = times_all[i], times_all[i + 1]
+            e_t = eval_eps(img, t)
+            # two dispatches per step: eps eval + AB-combine/x_prev (the
+            # key split rides inside combine; device-scalar count — a
+            # Python int would retrace per order)
+            img, hist, count, key = combine(
+                key, img, float(t), float(t_next), e_t, hist, count)
 
     if cfg.clip_output:
         img = jnp.clip(img, -cfg.clip_value, cfg.clip_value)

@@ -250,8 +250,8 @@ def distillation_loop(
         t0 = time.time()
 
         @jax.jit
-        def cache_one(query_cam: Cameras, ctx_cams: Cameras, ctx_rgb):
-            latent = models.eft_encode(ctx_rgb)
+        def cache_one(query_cam: Cameras, ctx_cams: Cameras, ctx_rgb,
+                      latent):
             ray_fn = models.eft_ray_fn(ctx_cams, ctx_rgb, latent)
             rgb, feat = render_light_field(
                 ray_fn, query_cam, eft_hw, eft_hw, min_depth, max_depth,
@@ -261,6 +261,10 @@ def distillation_loop(
             return feat[0], eft_img[0]
 
         ctx_rgb = scene_rgb[jnp.asarray(input_idx)]
+        # the ResNet encode depends only on the context images — hoist it
+        # out of the per-query-camera loop (the reference re-encodes per
+        # camera, distillation.py:110)
+        ctx_latent = jax.jit(models.eft_encode)(ctx_rgb)
         feats_list, imgs_list, cams_list, cams_vox_list = [], [], [], []
         for ci in range(n_cache):
             # re-relativize the aug cameras around query ci (phase-A loop)
@@ -268,7 +272,7 @@ def distillation_loop(
                                           center_at_origin=True)
             q_cam = get_camera_slice(rel_ci, [ci])
             c_cams = get_camera_slice(rel_ci, input_idx)
-            feat, eft_img = cache_one(q_cam, c_cams, ctx_rgb)
+            feat, eft_img = cache_one(q_cam, c_cams, ctx_rgb, ctx_latent)
             feats_list.append(feat)
             imgs_list.append(eft_img)
             cams_list.append(get_camera_slice(aug_rel, [ci]))
@@ -391,7 +395,17 @@ def distillation_loop(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    denoise_fn = models.denoise_fn()
+    # models may be None when use_diffusion=False (the NGP-only demo path
+    # needs no EFT/VAE/UNet at all)
+    denoise_fn = models.denoise_fn() if use_diffusion else None
+    use_host_plms_pre = cfg.plms_host_loop
+    if use_host_plms_pre is None:
+        use_host_plms_pre = jax.default_backend() != "cpu"
+    if use_host_plms_pre and denoise_fn is not None:
+        # the host-driven PLMS loop calls the denoiser directly — jit it
+        # once or every sampler step dispatches the UNet op-by-op (~2k
+        # eager ops x ~50 evals per fusion iteration through the relay)
+        denoise_fn = jax.jit(denoise_fn)
 
     # The diffusion target is compiled in PIECES: one program holding
     # render + 4 UNet instances + VAE enc/dec + the render backward
@@ -491,6 +505,7 @@ def distillation_loop(
 
     host_rng = np.random.RandomState(17)
     losses, fusion_losses_log = [], []
+    iter_times = []
     t0 = time.time()
     for itr in range(cfg.max_itr):
         rng, k1, k2 = jax.random.split(rng, 3)
@@ -526,6 +541,7 @@ def distillation_loop(
                     feature_cache["eft_images"][ci], k2, bitfield)
             fusion_losses_log.append(float(floss))
 
+        iter_times.append(time.time())
         if verbose and itr % 200 == 0:
             print(f"itr {itr:5d} loss {losses[-1]:.4f} "
                   f"({(itr + 1) / (time.time() - t0):.2f} it/s)")
@@ -592,6 +608,9 @@ def distillation_loop(
         "metrics": summary,
         "losses": losses,
         "fusion_losses": fusion_losses_log,
+        # host wall-clock at the end of each iteration (the per-iter
+        # float(loss) fetch synchronizes, so diffs are physical times)
+        "iter_times": iter_times,
     }
 
     if save_dir is not None:

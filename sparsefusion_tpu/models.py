@@ -108,18 +108,23 @@ def build_models(rng: jax.Array,
         return model(jnp.zeros((4, 3)), jnp.ones((4, 3)),
                      jnp.ones((4, 2)), dummy_cams, dummy_img, latent)
 
-    eft_vars = eft_model.init(k_eft, method=eft_init_fn)
+    # inits run under jit: an eager Flax init dispatches thousands of
+    # single-op programs through the remote relay (~7 min per process);
+    # one jitted init program per model is persistent-cacheable instead
+    eft_vars = jax.jit(lambda k: eft_model.init(k, method=eft_init_fn))(
+        k_eft)
 
     vae_model = AutoencoderKL(vae_config or VAEConfig(), dtype=dtype)
-    vae_vars = vae_model.init(k_vae, jnp.zeros((1, 64, 64, 3)))
+    vae_vars = jax.jit(
+        lambda k: vae_model.init(k, jnp.zeros((1, 64, 64, 3))))(k_vae)
 
     ucfg = unet_config or UNetConfig()
     unet_model = EfficientUNet(ucfg, dtype=dtype)
-    unet_params = unet_model.init(
-        k_unet, jnp.zeros((1, latent_size, latent_size, ucfg.channels)),
+    unet_params = jax.jit(lambda k: unet_model.init(
+        k, jnp.zeros((1, latent_size, latent_size, ucfg.channels)),
         jnp.zeros((1,)),
-        jnp.zeros((1, latent_size, latent_size, ucfg.cond_images_channels)))[
-            "params"]
+        jnp.zeros((1, latent_size, latent_size,
+                   ucfg.cond_images_channels)))["params"])(k_unet)
 
     ddpm = DDPM(ddpm_config or DDPMConfig(timesteps=timesteps))
     return SparseFusionModels(

@@ -51,6 +51,12 @@ class TrainConfig:
     latent_size: int = 32
     eft_n_pts: int = 20
     valid_thresh: float = 0.6
+    # Skip (rather than apply) updates whose grads contain non-finite
+    # values — the TPU analogue of the reference's per-sequence backward
+    # try/except + continue (``train.py:426-432``).  The count of skipped
+    # steps is surfaced from the optimizer state by the CLI.
+    guard_nonfinite: bool = True
+    guard_max_consecutive: int = 5
 
 
 @dataclasses.dataclass
@@ -71,7 +77,16 @@ def make_optimizers(cfg: TrainConfig):
         cfg.eft_lr, transition_steps=cfg.lr_decay_step,
         decay_rate=cfg.lr_decay_gamma, staircase=True)
     eft_tx = optax.adam(eft_sched)
+    if cfg.guard_nonfinite:
+        tx = optax.apply_if_finite(tx, cfg.guard_max_consecutive)
+        eft_tx = optax.apply_if_finite(eft_tx, cfg.guard_max_consecutive)
     return tx, eft_tx
+
+
+def notfinite_count(opt_state) -> int:
+    """Total updates skipped by the non-finite guard (0 if unguarded)."""
+    n = getattr(opt_state, "total_notfinite", None)
+    return int(jax.device_get(n)) if n is not None else 0
 
 
 def init_train_state(models: SparseFusionModels,

@@ -24,3 +24,10 @@ def test_host_loop_matches_scan(max_thres):
                                 plms_steps=8)
     for a, b in zip(scan_out, host_out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # the jitted masked-scan tail (one dispatch for steps 1..S-1) must
+    # also be bit-equal — same body code and key chain
+    tail_out = plms_sample_host(ddpm, denoise, rng, image, max_thres,
+                                plms_steps=8, scan_tail=True)
+    for a, b in zip(scan_out, tail_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

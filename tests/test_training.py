@@ -89,3 +89,42 @@ def test_shard_scene_list():
     all_shards = sum((shard_scene_list(range(10), 4, i) for i in range(4)),
                     [])
     assert all_shards == list(range(10))
+
+
+@pytest.mark.slow
+def test_nonfinite_guard_skips_update():
+    """A NaN batch must skip the update, not corrupt params.
+
+    TPU analogue of the reference's per-sequence backward try/except +
+    continue (``train.py:426-432``): ``optax.apply_if_finite`` drops the
+    non-finite update and counts it in the optimizer state.
+    """
+    from sparsefusion_tpu.train.trainer import notfinite_count
+
+    models = tiny_models()
+    cfg = TrainConfig(latent_size=8, context_size=2, train_eft=False,
+                      diffusion_batch_size=2)
+    tx, eft_tx = make_optimizers(cfg)
+    step_fn = make_train_step(models, cfg, tx, eft_tx)
+    state = {
+        "unet_params": models.unet_params,
+        "eft_params": models.eft_vars["params"],
+        "opt_state": tx.init(models.unet_params),
+        "eft_opt_state": None,
+    }
+    bad = make_batch(models, 1)
+    bad["query_rgb"] = bad["query_rgb"].at[..., 0].set(jnp.nan)
+
+    before = jax.device_get(state["unet_params"])
+    state, aux = step_fn(state, bad, jax.random.PRNGKey(0))
+    after = jax.device_get(state["unet_params"])
+
+    assert notfinite_count(state["opt_state"]) == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), before, after)
+
+    # and a clean batch afterwards still applies normally
+    good = make_batch(models, 1)
+    state, aux = step_fn(state, good, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    assert notfinite_count(state["opt_state"]) == 1
