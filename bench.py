@@ -261,9 +261,13 @@ def main():
     # ---- 4. scene-minutes estimate ----------------------------------------
     if None not in (dt_in, dt_render, dt_enc, dt_full):
         # fusion iter = subsampled input step + full no-grad render +
-        # VAE enc/dec + avg PLMS UNet evals + full-image grad step
+        # VAE enc/dec + avg PLMS UNet evals (x2 for CFG) + subsampled
+        # grad step (the shipped preset; dt_full is the LPIPS-active
+        # variant, reported separately).  Cross-check: the end-to-end
+        # drive (benchmarks/distill_drive.py) measured 271/510 ms
+        # bootstrap/fusion iters -> 21.5 min/scene.
         fusion_s = (dt_render + dt_enc
-                    + AVG_PLMS_UNET_EVALS * dt_unet + dt_full)
+                    + AVG_PLMS_UNET_EVALS * 2 * dt_unet + dt_in)
         bootstrap_iter_s = dt_in + dt_in  # bootstrap step ~= input step
         fusion_iter_s = dt_in + fusion_s
         est_min = (1000 * bootstrap_iter_s + 2000 * fusion_iter_s) / 60.0

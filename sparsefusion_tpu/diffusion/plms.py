@@ -176,24 +176,39 @@ _EVAL_EPS_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _eval_eps_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
-                  batch: int):
+                  batch: int, with_params: bool = False):
     """One jitted CFG epsilon evaluation for the host loop.
 
     Fuses get_condition + two denoiser applies + the cond-scale combine
     into a single dispatch (t is a traced weak-typed scalar, so every
     sampler step hits the same executable).  Keyed weakly on
     ``denoise_fn`` so a freed closure cannot alias a recycled ``id``.
+
+    ``with_params=True``: ``denoise_fn(params, x, log_snr, cond, keep)``
+    and the jitted program takes params as its leading ARGUMENT — a
+    closed-over full-size UNet would be embedded in the HLO as ~GBs of
+    literal constants, which a remote-compile relay cannot ingest.
     """
     per_fn = _EVAL_EPS_JIT_CACHE.setdefault(denoise_fn, {})
-    key = (ddpm.config, float(cond_scale), batch)
+    key = (ddpm.config, float(cond_scale), batch, with_params)
     if key not in per_fn:
         sched = ddpm.schedule
 
-        @jax.jit
-        def f(x, t, cond_images):
-            cond = sched.get_condition(jnp.full((batch,), t))
-            return ddpm.forward_with_cond_scale(denoise_fn, x, cond,
-                                                cond_images, cond_scale)
+        if with_params:
+
+            @jax.jit
+            def f(params, x, t, cond_images):
+                cond = sched.get_condition(jnp.full((batch,), t))
+                dn = lambda *a: denoise_fn(params, *a)
+                return ddpm.forward_with_cond_scale(dn, x, cond,
+                                                    cond_images, cond_scale)
+        else:
+
+            @jax.jit
+            def f(x, t, cond_images):
+                cond = sched.get_condition(jnp.full((batch,), t))
+                return ddpm.forward_with_cond_scale(denoise_fn, x, cond,
+                                                    cond_images, cond_scale)
 
         per_fn[key] = f
     return per_fn[key]
@@ -203,7 +218,7 @@ _SCAN_TAIL_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _scan_tail_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
-                   batch: int, plms_steps: int):
+                   batch: int, plms_steps: int, with_params: bool = False):
     """Steps 1..plms_steps-1 as ONE jitted masked ``lax.scan``.
 
     The scan body holds a single CFG epsilon eval (2 UNet applies) + the
@@ -211,17 +226,18 @@ def _scan_tail_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
     replaces ~2 dispatches x ~49 steps with one dispatch per fusion
     iteration.  Bit-parity with :func:`plms_sample`'s scan: identical
     body code and key chain (asserted in tests/test_plms_host.py).
+    ``with_params`` as in :func:`_eval_eps_jit`.
     """
     per_fn = _SCAN_TAIL_JIT_CACHE.setdefault(denoise_fn, {})
-    key = (ddpm.config, float(cond_scale), batch, plms_steps)
+    key = (ddpm.config, float(cond_scale), batch, plms_steps, with_params)
     if key not in per_fn:
         sched = ddpm.schedule
 
-        @jax.jit
-        def f(carry_key, img1, hist, count, n_steps, t_pairs, cond_images):
+        def tail(dn_fn, carry_key, img1, hist, count, n_steps, t_pairs,
+                 cond_images):
             def eval_eps(x, t):
                 return ddpm.forward_with_cond_scale(
-                    denoise_fn, x, sched.get_condition(jnp.full((batch,), t)),
+                    dn_fn, x, sched.get_condition(jnp.full((batch,), t)),
                     cond_images, cond_scale)
 
             def tfull(t):
@@ -264,6 +280,65 @@ def _scan_tail_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
             (img, _, _, _), _ = jax.lax.scan(
                 body, (img1, hist, count, carry_key), inps)
             return img
+
+        if with_params:
+
+            @jax.jit
+            def f(params, carry_key, img1, hist, count, n_steps, t_pairs,
+                  cond_images):
+                return tail(lambda *a: denoise_fn(params, *a), carry_key,
+                            img1, hist, count, n_steps, t_pairs,
+                            cond_images)
+        else:
+            f = jax.jit(lambda *a: tail(denoise_fn, *a))
+
+        per_fn[key] = f
+    return per_fn[key]
+
+
+_STEP0_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _step0_jit(ddpm: DDPM, denoise_fn: Callable, cond_scale: float,
+               batch: int, with_params: bool = False):
+    """The pseudo improved-Euler bootstrap (plms.py:137-143) as ONE
+    jitted program (2 CFG evals + 2 x_prev) — replaces ~9 host
+    dispatches.  Key chain identical to the eager pieces (asserted via
+    the scan_tail parity test)."""
+    per_fn = _STEP0_JIT_CACHE.setdefault(denoise_fn, {})
+    key = (ddpm.config, float(cond_scale), batch, with_params)
+    if key not in per_fn:
+        sched = ddpm.schedule
+
+        def step0(dn_fn, key_in, img, t, t_next, cond_images):
+            def eval_eps(x, tv):
+                return ddpm.forward_with_cond_scale(
+                    dn_fn, x, sched.get_condition(jnp.full((batch,), tv)),
+                    cond_images, cond_scale)
+
+            def tfull(tv):
+                return jnp.full((batch,), tv)
+
+            key_out, sub = jax.random.split(key_in)
+            k1, k2, k3 = jax.random.split(sub, 3)
+            e_t = eval_eps(img, t)
+            x_prev1, _ = _x_prev_from_eps(ddpm, k1, img, tfull(t),
+                                          tfull(t_next), e_t)
+            e_t_next = eval_eps(x_prev1, t_next)
+            e_prime = (e_t + e_t_next) / 2
+            x_prev, _ = _x_prev_from_eps(ddpm, k2, img, tfull(t),
+                                         tfull(t_next), e_prime)
+            z = jnp.zeros_like(e_t)
+            return x_prev, jnp.stack([e_t, z, z]), key_out
+
+        if with_params:
+
+            @jax.jit
+            def f(params, key_in, img, t, t_next, cond_images):
+                return step0(lambda *a: denoise_fn(params, *a), key_in,
+                             img, t, t_next, cond_images)
+        else:
+            f = jax.jit(lambda *a: step0(denoise_fn, *a))
 
         per_fn[key] = f
     return per_fn[key]
@@ -320,9 +395,15 @@ def plms_sample_host(
     cond_scale: float = 1.0,
     plms_steps: int = 50,
     scan_tail: Optional[bool] = None,
+    unet_params=None,
 ):
     """Host-driven PLMS: a Python loop over one small jitted x_prev
     program and per-step denoiser calls.
+
+    With ``unet_params`` set, ``denoise_fn`` must take params as its
+    leading argument (``models.unet_apply``) and the jitted programs
+    receive them as arguments — never close a full-size UNet into a jit
+    on a remote-compile backend (the params become HLO literals).
 
     Numerically identical to :func:`plms_sample` (same key-splitting
     structure; asserted in tests) but compiles only tiny programs — the
@@ -345,12 +426,16 @@ def plms_sample_host(
                  for i in range(plms_steps + 1)]
 
     xprev = _xprev_jit(ddpm)
-    eps_fn = _eval_eps_jit(ddpm, denoise_fn, cond_scale, batch)
+    with_params = unet_params is not None
+    eps_fn = _eval_eps_jit(ddpm, denoise_fn, cond_scale, batch,
+                           with_params=with_params)
 
     def tfull(t):
         return jnp.full((batch,), t)
 
     def eval_eps(x, t):
+        if with_params:
+            return eps_fn(unet_params, x, float(t), cond_images)
         return eps_fn(x, float(t), cond_images)
 
     k_init, key = jax.random.split(rng)
@@ -358,36 +443,45 @@ def plms_sample_host(
     x_noisy, log_snr = sched.q_sample(image, max_thres, init_noise)
     img = image if full_start else x_noisy
 
-    combine = _combine_step_jit(ddpm, batch)
-    hist = count = None
-    if n_steps > 0:
-        key, sub = jax.random.split(key)
-        k1, k2, k3 = jax.random.split(sub, 3)
-        t, t_next = times_all[0], times_all[1]
-        e_t = eval_eps(img, t)
-        x_prev1 = xprev(k1, img, tfull(t), tfull(t_next), e_t)
-        e_t_next = eval_eps(x_prev1, t_next)
-        e_prime = (e_t + e_t_next) / 2
-        img = xprev(k2, img, tfull(t), tfull(t_next), e_prime)
-        z = jnp.zeros_like(e_t)
-        hist = jnp.stack([e_t, z, z])
-        count = jnp.int32(1)
-
     if scan_tail is None:
         import os
 
         scan_tail = bool(os.environ.get("SF_PLMS_SCAN_TAIL"))
 
+    combine = _combine_step_jit(ddpm, batch)
+    hist = count = None
+    if n_steps > 0:
+        t, t_next = times_all[0], times_all[1]
+        if scan_tail:
+            # one dispatch for the whole improved-Euler bootstrap
+            step0 = _step0_jit(ddpm, denoise_fn, cond_scale, batch,
+                               with_params=with_params)
+            s0args = (key, img, float(t), float(t_next), cond_images)
+            img, hist, key = (step0(unet_params, *s0args) if with_params
+                              else step0(*s0args))
+        else:
+            key, sub = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(sub, 3)
+            e_t = eval_eps(img, t)
+            x_prev1 = xprev(k1, img, tfull(t), tfull(t_next), e_t)
+            e_t_next = eval_eps(x_prev1, t_next)
+            e_prime = (e_t + e_t_next) / 2
+            img = xprev(k2, img, tfull(t), tfull(t_next), e_prime)
+            z = jnp.zeros_like(e_t)
+            hist = jnp.stack([e_t, z, z])
+        count = jnp.int32(1)
+
     if scan_tail and n_steps > 1:
         # one jitted masked scan for steps 1..S-1 (one dispatch instead
         # of ~2 x 49); body code identical to plms_sample's -> bit-parity
         tail = _scan_tail_jit(ddpm, denoise_fn, cond_scale, batch,
-                              plms_steps)
+                              plms_steps, with_params=with_params)
         t_pairs = jnp.asarray(
             [[times_all[i], times_all[i + 1]]
              for i in range(plms_steps)], jnp.float32)
-        img = tail(key, img, hist, count, jnp.int32(n_steps), t_pairs,
-                   cond_images)
+        targs = (key, img, hist, count, jnp.int32(n_steps), t_pairs,
+                 cond_images)
+        img = tail(unet_params, *targs) if with_params else tail(*targs)
     else:
         for i in range(1, plms_steps):
             if i >= n_steps:

@@ -90,6 +90,12 @@ class DistillConfig:
     # size).  Bit-equal to the scan (tests/test_plms_host.py).  None =
     # auto: host loop on non-CPU platforms, scan on CPU.
     plms_host_loop: Optional[bool] = None
+    # host-PLMS steps 1..49 as one jitted masked scan (single dispatch)
+    # instead of 2 dispatches per step; None = SF_PLMS_SCAN_TAIL env
+    plms_scan_tail: Optional[bool] = None
+    # bfloat16 activations for the sampler UNet (no grads flow through
+    # it; params stay f32) — ~2x on the MXU for the PLMS denoise chain
+    sampler_bf16: bool = False
     eval_every: int = 0           # 0 disables intermediate eval dumps
     ngp: NGPConfig = NGPConfig()
     # occupancy-guided sampling (TPU-native replacement for the cuda_ray
@@ -141,6 +147,11 @@ def tpu_distill_config(**overrides) -> DistillConfig:
         input_rays=4096,
         fusion_rays=4096,
         remat=False,
+        plms_scan_tail=True,
+        # measured SLOWER in bf16 at 32x32x4/batch-1 (5.9 vs 4.8 ms per
+        # CFG eval, benchmarks/fusion_decompose.py) — cast overhead beats
+        # MXU gains at these activation sizes
+        sampler_bf16=False,
     )
     base.update(overrides)
     return DistillConfig(**base)
@@ -396,16 +407,13 @@ def distillation_loop(
         return optax.apply_updates(params, updates), opt_state, loss
 
     # models may be None when use_diffusion=False (the NGP-only demo path
-    # needs no EFT/VAE/UNet at all)
+    # needs no EFT/VAE/UNet at all).  The host path passes UNet/VAE
+    # params as jit ARGUMENTS (models.unet_apply / vae_*_p): closing over
+    # them embeds ~GBs of literal constants in the HLO, which the
+    # remote-compile relay cannot ingest (broken-pipe at upload).
     denoise_fn = models.denoise_fn() if use_diffusion else None
-    use_host_plms_pre = cfg.plms_host_loop
-    if use_host_plms_pre is None:
-        use_host_plms_pre = jax.default_backend() != "cpu"
-    if use_host_plms_pre and denoise_fn is not None:
-        # the host-driven PLMS loop calls the denoiser directly — jit it
-        # once or every sampler step dispatches the UNet op-by-op (~2k
-        # eager ops x ~50 evals per fusion iteration through the relay)
-        denoise_fn = jax.jit(denoise_fn)
+    unet_apply = (models.unet_apply_fn(bf16=cfg.sampler_bf16)
+                  if use_diffusion else None)
 
     # The diffusion target is compiled in PIECES: one program holding
     # render + 4 UNet instances + VAE enc/dec + the render backward
@@ -425,20 +433,25 @@ def distillation_loop(
     if use_host_plms:
         from sparsefusion_tpu.diffusion.plms import plms_sample_host
 
-        vae_enc = jax.jit(lambda img: models.vae_encode(img[None]))
-        vae_dec = jax.jit(lambda z: models.vae_decode(z)[0])
+        vae_enc = jax.jit(lambda vv, img: models.vae_encode_p(vv,
+                                                              img[None]))
+        vae_dec = jax.jit(lambda vv, z: models.vae_decode_p(vv, z)[0])
 
-        def fusion_sample(img, features, k_t, k_s):
-            latents = vae_enc(img)
-            max_thres = min(float(jax.random.uniform(k_t)), 0.99)
+        def fusion_sample(img, features, k_t, k_s, max_thres):
+            # max_thres is drawn on HOST (host_rng in the loop body,
+            # mirroring distillation.py:303) — a device uniform would
+            # force a blocking scalar fetch at the top of every fusion
+            # iteration, serializing the dispatch pipeline
+            latents = vae_enc(models.vae_vars, img)
             pred_x0, _, _, alpha_cumprod = plms_sample_host(
-                models.ddpm, denoise_fn, k_s, latents, max_thres,
+                models.ddpm, unet_apply, k_s, latents, max_thres,
                 cond_images=features[None], cond_scale=cfg.cond_scale,
-                plms_steps=cfg.plms_steps)
-            return vae_dec(pred_x0), 1.0 - alpha_cumprod[0]
+                plms_steps=cfg.plms_steps, scan_tail=cfg.plms_scan_tail,
+                unet_params=models.unet_params)
+            return vae_dec(models.vae_vars, pred_x0), 1.0 - alpha_cumprod[0]
     else:
         @jax.jit
-        def fusion_sample(img, features, k_t, k_s):
+        def fusion_sample(img, features, k_t, k_s, max_thres=None):
             latents = models.vae_encode(img[None])
             max_thres = jnp.clip(jax.random.uniform(k_t), 0.0, 0.99)
             pred_x0, _, _, alpha_cumprod = plms_sample(
@@ -448,9 +461,10 @@ def distillation_loop(
             pred_img = models.vae_decode(pred_x0)[0]
             return pred_img, 1.0 - alpha_cumprod[0]
 
-    def fusion_target(params, cam, features, k_r, k_t, k_s, bitfield):
+    def fusion_target(params, cam, features, k_r, k_t, k_s, bitfield,
+                      max_thres):
         img = fusion_render_fwd(params, cam, k_r, bitfield)
-        return fusion_sample(img, features, k_t, k_s)
+        return fusion_sample(img, features, k_t, k_s, max_thres)
 
     use_percep = lpips_fn is not None and cfg.lambda_percep > 0
     subsample_fusion = bool(cfg.fusion_rays) and not use_percep \
@@ -490,10 +504,11 @@ def distillation_loop(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def fusion_step(params, opt_state, cam, features, key, bitfield):
+    def fusion_step(params, opt_state, cam, features, key, bitfield,
+                    max_thres=None):
         k_r, k_t, k_s = jax.random.split(key, 3)
         pred_img, weight = fusion_target(params, cam, features, k_r, k_t,
-                                         k_s, bitfield)
+                                         k_s, bitfield, max_thres)
         pred_img = jax.lax.stop_gradient(pred_img)
         return fusion_grad_step(params, opt_state, cam, pred_img, weight,
                                 k_r, bitfield)
@@ -526,19 +541,26 @@ def distillation_loop(
         gt_mask = scene_mask[bi] if scene_mask is not None else None
         ngp_params, opt_state, loss = input_step(
             ngp_params, opt_state, cam, gt_rgb, gt_mask, k1, bitfield)
-        losses.append(float(loss))
 
+        floss = None
         if use_diffusion:
             ci = int(host_rng.randint(n_cache))
+            mt = min(float(host_rng.uniform()), 0.99)
             cam_f = feature_cache["cameras_vox"][ci]
             if itr > cfg.start_fusion_step:
                 ngp_params, opt_state, floss = fusion_step(
                     ngp_params, opt_state, cam_f,
-                    feature_cache["features"][ci], k2, bitfield)
+                    feature_cache["features"][ci], k2, bitfield,
+                    max_thres=mt)
             else:
                 ngp_params, opt_state, floss = bootstrap_step(
                     ngp_params, opt_state, cam_f,
                     feature_cache["eft_images"][ci], k2, bitfield)
+
+        # fetch loss scalars only after BOTH steps are dispatched — a
+        # fetch between them would serialize the pipeline every iteration
+        losses.append(float(loss))
+        if floss is not None:
             fusion_losses_log.append(float(floss))
 
         iter_times.append(time.time())

@@ -36,6 +36,13 @@ class SparseFusionModels:
 
     # ------------------------------------------------------------- denoise
     def denoise_fn(self) -> Callable:
+        """Closure form (params baked in).
+
+        NOTE: do not jit this at full model size on a remote-compile
+        backend — closed-over arrays are embedded in the HLO as literals
+        (~2 GB for the dim-256 UNet in f32).  Use :meth:`unet_apply` and
+        pass ``unet_params`` as a jit argument instead.
+        """
         model, params = self.unet_model, self.unet_params
 
         def fn(x, log_snr, cond_images, keep_mask):
@@ -44,19 +51,58 @@ class SparseFusionModels:
 
         return fn
 
+    def unet_apply(self, params, x, log_snr, cond_images, keep_mask):
+        """Param-explicit UNet apply — the jit-friendly form (params ride
+        as program arguments, not embedded constants)."""
+        return self.unet_model.apply({"params": params}, x, log_snr,
+                                     cond_images, keep_mask)
+
+    def unet_apply_fn(self, bf16: bool = False) -> Callable:
+        """Stable-identity param-explicit UNet apply.
+
+        The returned function is cached on the bundle, so jit caches
+        keyed on it (plms._eval_eps_jit etc.) survive across scenes —
+        a fresh bound method per ``distillation_loop`` call would
+        retrace every UNet program per scene.  ``bf16=True`` runs the
+        UNet with bfloat16 activations (params stay f32, output upcast)
+        — safe for the no-grad sampler path, ~2x on the MXU.
+        """
+        attr = "_unet_apply_bf16" if bf16 else "_unet_apply_f32"
+        fn = getattr(self, attr, None)
+        if fn is None:
+            model = (EfficientUNet(self.unet_model.config,
+                                   dtype=jnp.bfloat16)
+                     if bf16 else self.unet_model)
+
+            def fn(params, x, log_snr, cond_images, keep_mask):
+                out = model.apply({"params": params}, x, log_snr,
+                                  cond_images, keep_mask)
+                return out.astype(jnp.float32)
+
+            setattr(self, attr, fn)
+        return fn
+
     # ----------------------------------------------------------------- vae
-    def vae_encode(self, images_01: jnp.ndarray) -> jnp.ndarray:
-        """[0,1] RGB (B,H,W,3) -> scaled latents (B,H/8,W/8,4)."""
+    def vae_encode_p(self, vae_vars, images_01: jnp.ndarray) -> jnp.ndarray:
+        """Param-explicit: [0,1] RGB (B,H,W,3) -> scaled latents."""
         x = jnp.clip(images_01 * 2.0 - 1.0, -1.0, 1.0)
-        mean = self.vae_model.apply(self.vae_vars, x,
+        mean = self.vae_model.apply(vae_vars, x,
                                     method=AutoencoderKL.encode_mode)
         return mean * self.z_scale_factor
 
-    def vae_decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Scaled latents -> [0,1] RGB."""
-        x = self.vae_model.apply(self.vae_vars, z / self.z_scale_factor,
+    def vae_decode_p(self, vae_vars, z: jnp.ndarray) -> jnp.ndarray:
+        """Param-explicit: scaled latents -> [0,1] RGB."""
+        x = self.vae_model.apply(vae_vars, z / self.z_scale_factor,
                                  method=AutoencoderKL.decode)
         return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+    def vae_encode(self, images_01: jnp.ndarray) -> jnp.ndarray:
+        """[0,1] RGB (B,H,W,3) -> scaled latents (B,H/8,W/8,4)."""
+        return self.vae_encode_p(self.vae_vars, images_01)
+
+    def vae_decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Scaled latents -> [0,1] RGB."""
+        return self.vae_decode_p(self.vae_vars, z)
 
     # ----------------------------------------------------------------- eft
     def eft_encode(self, images: jnp.ndarray) -> jnp.ndarray:

@@ -31,3 +31,17 @@ def test_host_loop_matches_scan(max_thres):
                                 plms_steps=8, scan_tail=True)
     for a, b in zip(scan_out, tail_out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # params-as-arguments threading (models.unet_apply form) must match
+    # in both host modes
+    def denoise_p(params, x, log_snr, cond_images, keep_mask):
+        return params["s"] * x + jnp.sin(log_snr).reshape(-1, 1, 1, 1) * 0.05
+
+    params = {"s": jnp.float32(0.1)}
+    for st in (False, True):
+        p_out = plms_sample_host(ddpm, denoise_p, rng, image, max_thres,
+                                 plms_steps=8, scan_tail=st,
+                                 unet_params=params)
+        for a, b in zip(scan_out, p_out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
