@@ -228,8 +228,10 @@ def main():
 
         vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
         img256 = jax.random.uniform(jax.random.PRNGKey(4), (1, 256, 256, 3))
+        # init via the full autoencode __call__ so BOTH encoder and
+        # decoder (incl. post_quant_conv) params exist in the tree
         vshapes = jax.eval_shape(
-            lambda k: vae.init(k, img256, method=AutoencoderKL.encode_mode),
+            lambda k: vae.init(k, img256),
             jax.random.PRNGKey(5))["params"]
         vparams = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), vshapes)

@@ -61,25 +61,31 @@ def make_synthetic_scene(n_views: int = 10, image_size: int = 64,
     rng = np.random.RandomState(seed)
     centers = rng.uniform(-0.7, 0.7, (n_blobs, 3)).astype(np.float32)
     colors = rng.uniform(0.2, 1.0, (n_blobs, 3)).astype(np.float32)
-    field = blob_field(centers, colors)
 
     cams = orbit_cameras(n_views, image_size=image_size, seed=seed)
     cfg = VolumeRendererConfig(num_steps=96, upsample_steps=0, bound=bound,
                                min_near=0.1)
 
-    bundle = grid_ray_bundle(cams, image_size, image_size,
-                             n_pts_per_ray=2, min_depth=1.0, max_depth=5.0)
-    rays_o = np.asarray(bundle.origins).reshape(-1, 3)
-    rays_d = np.asarray(bundle.directions).reshape(-1, 3)
+    # Pin the fixture render to the host CPU backend: it's test/demo data
+    # generation, and routing its eager ray-bundle ops + render through a
+    # remote accelerator adds minutes of relay round-trips (and a relay
+    # outage can hang it entirely)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        field = blob_field(centers, colors)
+        bundle = grid_ray_bundle(cams, image_size, image_size,
+                                 n_pts_per_ray=2, min_depth=1.0,
+                                 max_depth=5.0)
+        rays_o = np.asarray(bundle.origins).reshape(-1, 3)
+        rays_d = np.asarray(bundle.directions).reshape(-1, 3)
 
-    out = jax.jit(lambda o, d: render_rays(field, o, d, cfg,
-                                           det_importance=True,
-                                           bg_color=0.0))(
-        jnp.asarray(rays_o), jnp.asarray(rays_d))
-    images = np.asarray(out["image"]).reshape(
-        n_views, image_size, image_size, 3).astype(np.float32)
-    masks = np.asarray(out["weights_sum"]).reshape(
-        n_views, image_size, image_size, 1).astype(np.float32)
+        out = jax.jit(lambda o, d: render_rays(field, o, d, cfg,
+                                               det_importance=True,
+                                               bg_color=0.0))(
+            jnp.asarray(rays_o), jnp.asarray(rays_d))
+        images = np.asarray(out["image"]).reshape(
+            n_views, image_size, image_size, 3).astype(np.float32)
+        masks = np.asarray(out["weights_sum"]).reshape(
+            n_views, image_size, image_size, 1).astype(np.float32)
 
     n = n_views
     return SceneData(

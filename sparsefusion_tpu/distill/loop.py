@@ -259,38 +259,58 @@ def distillation_loop(
     feature_cache = None
     if use_diffusion:
         t0 = time.time()
+        eft_model = models.eft_model
+        ctx_idx = jnp.asarray(input_idx)
 
+        # ONE jitted program for the whole cache: the relativization +
+        # render of every query camera rides a lax.map (the reference
+        # loops renderer calls per camera, distillation.py:92-141 — here
+        # a per-camera host loop would pay a relay dispatch each).  EFT
+        # params enter as ARGUMENTS (embedding them as HLO constants
+        # bloats the program; see the UNet lesson in PERF.md).
         @jax.jit
-        def cache_one(query_cam: Cameras, ctx_cams: Cameras, ctx_rgb,
-                      latent):
-            ray_fn = models.eft_ray_fn(ctx_cams, ctx_rgb, latent)
-            rgb, feat = render_light_field(
-                ray_fn, query_cam, eft_hw, eft_hw, min_depth, max_depth,
-                n_pts_per_ray=cfg.eft_n_pts, n_batches=16)
-            eft_img = resize_bilinear(rgb, (image_size, image_size),
-                                      align_corners=False)
-            return feat[0], eft_img[0]
+        def cache_all(eft_vars, cams_all: Cameras, ctx_rgb, latent):
+            def one(ci):
+                rel_ci = get_relative_cameras(cams_all, ci[None],
+                                              center_at_origin=True)
+                q_cam = get_camera_slice(rel_ci, ci[None])
+                c_cams = get_camera_slice(rel_ci, ctx_idx)
 
-        ctx_rgb = scene_rgb[jnp.asarray(input_idx)]
+                def ray_fn(o, d, lengths):
+                    return eft_model.apply(eft_vars, o, d, lengths,
+                                           c_cams, ctx_rgb, latent)
+
+                rgb, feat = render_light_field(
+                    ray_fn, q_cam, eft_hw, eft_hw, min_depth, max_depth,
+                    n_pts_per_ray=cfg.eft_n_pts, n_batches=16)
+                eft_img = resize_bilinear(rgb, (image_size, image_size),
+                                          align_corners=False)
+                return feat[0], eft_img[0]
+
+            return jax.lax.map(one, jnp.arange(n_cache))
+
+        ctx_rgb = scene_rgb[ctx_idx]
         # the ResNet encode depends only on the context images — hoist it
-        # out of the per-query-camera loop (the reference re-encodes per
+        # out of the per-query-camera map (the reference re-encodes per
         # camera, distillation.py:110)
-        ctx_latent = jax.jit(models.eft_encode)(ctx_rgb)
-        feats_list, imgs_list, cams_list, cams_vox_list = [], [], [], []
-        for ci in range(n_cache):
-            # re-relativize the aug cameras around query ci (phase-A loop)
-            rel_ci = get_relative_cameras(aug_rel, [ci],
-                                          center_at_origin=True)
-            q_cam = get_camera_slice(rel_ci, [ci])
-            c_cams = get_camera_slice(rel_ci, input_idx)
-            feat, eft_img = cache_one(q_cam, c_cams, ctx_rgb, ctx_latent)
-            feats_list.append(feat)
-            imgs_list.append(eft_img)
-            cams_list.append(get_camera_slice(aug_rel, [ci]))
-            cams_vox_list.append(get_camera_slice(aug_vox, [ci]))
+        ctx_latent = jax.jit(
+            lambda vv, imgs: eft_model.apply(
+                vv, imgs, method=type(eft_model).encode))(
+                    models.eft_vars, ctx_rgb)
+        feats, imgs = cache_all(models.eft_vars, aug_rel, ctx_rgb,
+                                ctx_latent)
+
+        # per-camera voxel-frame camera slices, cut on HOST numpy (the
+        # jnp fancy-index per camera would be ~5 eager relay dispatches
+        # each); re-device-ing happens lazily at first use
+        aug_vox_np = jax.tree_util.tree_map(np.asarray, aug_vox)
+        cams_vox_list = [
+            jax.tree_util.tree_map(lambda a, i=ci: a[i:i + 1], aug_vox_np)
+            for ci in range(n_cache)
+        ]
         feature_cache = {
-            "features": jnp.stack(feats_list),        # (M, eft, eft, 256)
-            "eft_images": jnp.stack(imgs_list),       # (M, H, W, 3)
+            "features": feats,                        # (M, eft, eft, 256)
+            "eft_images": imgs,                       # (M, H, W, 3)
             "cameras_vox": cams_vox_list,
         }
         if verbose:
@@ -610,17 +630,32 @@ def distillation_loop(
         print(f"scene {scene.sequence_name} psnr: {summary['psnr']:.2f} "
               f"ssim: {summary['ssim']:.3f}{extra}")
 
-    # circle-path orbit renders (distillation.py:460-491)
-    circle_renders = []
+    # circle-path orbit renders (distillation.py:460-491) — all 50 cams
+    # in ONE jitted lax.map program + one bulk fetch (a per-camera host
+    # loop pays a relay dispatch + ~1 MB fetch round trip each)
     circle_cams = get_interpolated_path(scene_vox, n=cfg.n_aug_cameras)
-    for ci in range(len(circle_cams)):
-        rng, k = jax.random.split(rng)
-        img, sil = eval_render(ngp_params,
-                               get_camera_slice(circle_cams, [ci]), k,
-                               bitfield)
-        circle_renders.append(
-            np.hstack([np.asarray(img),
-                       np.repeat(np.asarray(sil), 3, axis=-1)]))
+    n_circle = len(circle_cams)
+
+    @jax.jit
+    def eval_render_orbit(params, cams, keys, bitfield):
+        def one(i):
+            img, sil = _render_cam(ngp_model, params,
+                                   get_camera_slice(cams, i[None]),
+                                   image_size, vcfg, keys[i], perturb=True,
+                                   near_far_fn=make_nff(bitfield))
+            return img, sil
+
+        return jax.lax.map(one, jnp.arange(n_circle))
+
+    rng, k_orbit = jax.random.split(rng)
+    c_imgs, c_sils = eval_render_orbit(
+        ngp_params, circle_cams, jax.random.split(k_orbit, n_circle),
+        bitfield)
+    c_imgs, c_sils = np.asarray(c_imgs), np.asarray(c_sils)
+    circle_renders = [
+        np.hstack([c_imgs[i], np.repeat(c_sils[i], 3, axis=-1)])
+        for i in range(n_circle)
+    ]
 
     result = {
         "ngp_params": ngp_params,
