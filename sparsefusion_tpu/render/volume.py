@@ -179,21 +179,28 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         sigma2 = sigma2.reshape(n, cfg.upsample_steps)
         rgb2 = rgb2.reshape(n, cfg.upsample_steps, 3)
 
-        z_vals = jnp.concatenate([z_vals, new_z], axis=-1)
-        order = jnp.argsort(z_vals, axis=-1)
-        z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
+        z_all = jnp.concatenate([z_vals, new_z], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
         sigmas = jnp.take_along_axis(
             jnp.concatenate([sigma1, sigma2], axis=-1), order, axis=-1)
-        rgbs = jnp.take_along_axis(
-            jnp.concatenate([rgb1, rgb2], axis=1), order[..., None], axis=1)
+        # Composite in sorted-z space, then bring the WEIGHTS back to
+        # the un-sorted sample order through the inverse permutation —
+        # one (N, T) lane-gather instead of gathering the (N, T, 3) rgb
+        # (per-lane take_along_axis costs ~80 M elem/s on TPU, PERF.md;
+        # this trims 3 of the 5 gathered lanes and their adjoints).
+        weights, weights_sum = _composite(sigmas, None, z_vals, sample_dist)
+        inv_order = jnp.argsort(order, axis=-1)
+        w_unsorted = jnp.take_along_axis(weights, inv_order, axis=-1)
+        rgbs = jnp.concatenate([rgb1, rgb2], axis=1)
+        image = jnp.sum(w_unsorted[..., None] * rgbs, axis=-2)
     else:
         sigmas, rgbs = sigma1, rgb1
-
-    weights, weights_sum = _composite(sigmas, rgbs, z_vals, sample_dist)
+        weights, weights_sum = _composite(sigmas, rgbs, z_vals, sample_dist)
+        image = jnp.sum(weights[..., None] * rgbs, axis=-2)
 
     ori_z = jnp.clip((z_vals - nears_c) / (fars_c - nears_c), 0.0, 1.0)
     depth = jnp.sum(weights * ori_z, axis=-1)
-    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
     if bg_fn is not None:
         bg_color = bg_fn(rays_d)
     image = image + (1.0 - weights_sum)[..., None] * bg_color
