@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("-p", "--port", type=int, default=1)
     p.add_argument("--exp_dir", type=str, default="output/demo/")
     p.add_argument("--max_itr", type=int, default=3000)
+    p.add_argument("--start_fusion", type=int, default=1000,
+                   help="iteration after which the diffusion fusion loss "
+                        "replaces the EFT bootstrap (reference fixes 1000, "
+                        "distillation.py:156; exposed for short runs)")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--no_diffusion", action="store_true")
     p.add_argument("--lpips_weights", type=str, default=None,
@@ -161,9 +165,11 @@ def main(argv=None):
     if preset == "auto":
         preset = "tpu" if jax.default_backend() == "tpu" else "reference"
     if preset == "tpu":
-        cfg = tpu_distill_config(max_itr=args.max_itr)
+        cfg = tpu_distill_config(max_itr=args.max_itr,
+                                 start_fusion_step=args.start_fusion)
     else:
-        cfg = DistillConfig(max_itr=args.max_itr)
+        cfg = DistillConfig(max_itr=args.max_itr,
+                            start_fusion_step=args.start_fusion)
 
     for val_idx in val_list:
         scene = dataset[val_idx]
