@@ -6,7 +6,10 @@ fusion iters, and the 256^2 eval — printing wall-clock per phase and
 extrapolated minutes for a full 3000-iter scene (1000 bootstrap + 2000
 fusion after warmup, the reference schedule).
 
-Usage: python benchmarks/distill_drive.py [n_iters] [start_fusion]
+Usage: python benchmarks/distill_drive.py [n_iters] [start_fusion] [samples]
+
+``samples`` (optional) overrides the per-phase sample budget: the render
+uses samples stratified + samples importance steps (preset: 32+32).
 """
 import os
 import sys
@@ -20,6 +23,7 @@ from sparsefusion_tpu.utils.runtime import enable_persistent_compilation_cache
 def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     start_fusion = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    samples = int(sys.argv[3]) if len(sys.argv) > 3 else None
     enable_persistent_compilation_cache()
 
     import jax
@@ -38,9 +42,12 @@ def main():
     scene = make_synthetic_scene(n_views=4, image_size=256, seed=0)
     print(f"[drive] scene ready {time.time() - t0:.0f}s", flush=True)
 
+    over = {}
+    if samples is not None:
+        over = dict(num_steps=samples, upsample_steps=samples)
     cfg = tpu_distill_config(
         max_itr=n_iters, start_fusion_step=start_fusion,
-        n_aug_cameras=4, eval_every=0)
+        n_aug_cameras=4, eval_every=0, **over)
 
     t1 = time.time()
     out = distillation_loop(
