@@ -1,17 +1,26 @@
 """Short full-scale distillation drive on hardware: times each phase.
 
 Runs the real 256^2 pipeline (full-size EFT/VAE/UNet) on a synthetic
-scene with the tpu preset: phase A EFT cache, N bootstrap iters, M
-fusion iters, and the 256^2 eval — printing wall-clock per phase and
-extrapolated minutes for a full 3000-iter scene (1000 bootstrap + 2000
-fusion after warmup, the reference schedule).
+scene with the tpu preset: phase A EFT cache, bootstrap iters, fusion
+iters, and the 256^2 eval — printing wall-clock per phase and an
+extrapolated minutes number for a full 3000-iter scene (1000 bootstrap
++ 2000 fusion, the reference schedule, ``demo.py:101``).
 
-Usage: python benchmarks/distill_drive.py [n_iters] [start_fusion] [samples]
+Timing uses the loop's ``sync_times`` (host<->device sync boundaries,
+every loss_fetch_every iters) — per-iter host timestamps are dispatch
+times only now that loss fetches are batched.
 
-``samples`` (optional) overrides the per-phase sample budget: the render
-uses samples stratified + samples importance steps (preset: 32+32).
+Usage:
+  python benchmarks/distill_drive.py [--iters N] [--start-fusion N]
+      [--samples S] [--march K] [--occ-start N] [--fetch-every N]
+
+--samples S   : two-phase budget S stratified + S importance (preset 32)
+--march K     : single-pass occupancy marching with K samples once the
+                occupancy grid is live (occ_march_steps=K)
+--occ-start N : occupancy_start override (preset 500) — lower it so
+                short drives exercise the march path
 """
-import os
+import argparse
 import sys
 import time
 
@@ -21,12 +30,28 @@ from sparsefusion_tpu.utils.runtime import enable_persistent_compilation_cache
 
 
 def main():
-    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    start_fusion = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    samples = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--start-fusion", type=int, default=8)
+    ap.add_argument("--samples", type=int, default=None)
+    ap.add_argument("--march", type=int, default=None)
+    ap.add_argument("--occ-start", type=int, default=None)
+    ap.add_argument("--fetch-every", type=int, default=20)
+    ap.add_argument("--save-dir", default="/tmp/distill_drive_out")
+    # backwards-compatible positional form: iters start_fusion [samples]
+    ap.add_argument("pos", nargs="*", type=int)
+    args = ap.parse_args()
+    if args.pos:
+        args.iters = args.pos[0]
+        if len(args.pos) > 1:
+            args.start_fusion = args.pos[1]
+        if len(args.pos) > 2:
+            args.samples = args.pos[2]
+
     enable_persistent_compilation_cache()
 
     import jax
+    import numpy as np
 
     from sparsefusion_tpu.data.synthetic import make_synthetic_scene
     from sparsefusion_tpu.distill.loop import (
@@ -43,35 +68,66 @@ def main():
     print(f"[drive] scene ready {time.time() - t0:.0f}s", flush=True)
 
     over = {}
-    if samples is not None:
-        over = dict(num_steps=samples, upsample_steps=samples)
+    if args.samples is not None:
+        over = dict(num_steps=args.samples, upsample_steps=args.samples)
+    if args.march is not None:
+        over["occ_march_steps"] = args.march
+    occ_start = args.occ_start
+    if occ_start is not None:
+        over["occupancy_start"] = occ_start
     cfg = tpu_distill_config(
-        max_itr=n_iters, start_fusion_step=start_fusion,
-        n_aug_cameras=4, eval_every=0, **over)
+        max_itr=args.iters, start_fusion_step=args.start_fusion,
+        n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,
+        **over)
 
     t1 = time.time()
     out = distillation_loop(
         models, scene, [0, 1], cfg, jax.random.PRNGKey(1),
-        save_dir="/tmp/distill_drive_out", use_diffusion=True,
-        verbose=True)
+        save_dir=args.save_dir, use_diffusion=True, verbose=True)
     wall = time.time() - t1
-    print(f"[drive] {n_iters} iters ({start_fusion} bootstrap) "
+    print(f"[drive] {args.iters} iters ({args.start_fusion} bootstrap) "
           f"+ eval in {wall:.1f}s total", flush=True)
     print(f"[drive] psnr {out['metrics']['psnr']:.2f}", flush=True)
 
-    import numpy as np
+    # ---- per-phase rates from sync boundaries ---------------------------
+    # classify each sync interval by (bootstrap|fusion) x (pre|post occ)
+    occ0 = cfg.occupancy_start if cfg.use_occupancy else 10 ** 9
+    marching = bool(cfg.use_occupancy and cfg.occ_march_steps)
 
-    ts = np.asarray(out["iter_times"])
-    dts = np.diff(ts)
-    # skip the first iter of each phase (compile); steady-state medians
-    boot = dts[1:start_fusion - 1]
-    fuse = dts[start_fusion + 2:]
-    boot_s = float(np.median(boot)) if len(boot) else float("nan")
-    fuse_s = float(np.median(fuse)) if len(fuse) else float("nan")
-    est_min = (1000 * boot_s + 2000 * fuse_s) / 60.0
-    print(f"[drive] bootstrap iter {1e3 * boot_s:.0f} ms | fusion iter "
-          f"{1e3 * fuse_s:.0f} ms | est 3000-iter scene "
-          f"{est_min:.1f} min", flush=True)
+    def phase_of(itr):
+        f = "fus" if itr > cfg.start_fusion_step else "boot"
+        o = "march" if (marching and itr >= occ0) else "two"
+        return f"{f}_{o}"
+
+    sync = [(-1, t1)] + list(out["sync_times"])
+    rates = {}
+    for (i0, w0), (i1, w1) in zip(sync[:-1], sync[1:]):
+        if i1 <= i0:
+            continue
+        p0, p1 = phase_of(i0 + 1), phase_of(i1)
+        if p0 != p1:
+            continue  # mixed interval
+        rates.setdefault(p1, []).append((w1 - w0) / (i1 - i0))
+
+    med = {}
+    for k, v in rates.items():
+        v = v[1:] if len(v) > 2 else v  # drop the compile interval
+        med[k] = float(np.median(v))
+        print(f"[drive] {k}: {1e3 * med[k]:.0f} ms/iter "
+              f"({len(v)} intervals)", flush=True)
+
+    # full-scene estimate under the reference schedule: 1000 bootstrap
+    # (500 pre-occ + 500 post-occ) + 2000 fusion (post-occ)
+    bt = med.get("boot_two")
+    bm = med.get("boot_march", bt)
+    fm = med.get("fus_march", med.get("fus_two"))
+    if bt is not None and fm is not None:
+        est = (500 * bt + 500 * (bm if bm is not None else bt)
+               + 2000 * fm) / 60.0
+        print(f"[drive] est 3000-iter scene {est:.1f} min "
+              f"(boot_two {1e3 * bt:.0f} | boot_march "
+              f"{1e3 * (bm or bt):.0f} | fusion {1e3 * fm:.0f} ms)",
+              flush=True)
 
 
 if __name__ == "__main__":

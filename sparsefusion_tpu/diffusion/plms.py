@@ -446,7 +446,9 @@ def plms_sample_host(
     if scan_tail is None:
         import os
 
-        scan_tail = bool(os.environ.get("SF_PLMS_SCAN_TAIL"))
+        # "0"/"false"/"off" disable; any other non-empty value enables
+        scan_tail = os.environ.get("SF_PLMS_SCAN_TAIL", "").lower() \
+            not in ("", "0", "false", "off")
 
     combine = _combine_step_jit(ddpm, batch)
     hist = count = None

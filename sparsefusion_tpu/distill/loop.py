@@ -25,6 +25,7 @@ import dataclasses
 import json
 import os
 import time
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -106,6 +107,21 @@ class DistillConfig:
     occupancy_start: int = 500
     occupancy_update_every: int = 16
     occupancy_probe: int = 64
+    # single-pass occupancy marching (the TPU equivalent of the
+    # reference's cuda_ray path, ``raymarching.cu:312-480``): once the
+    # occupancy grid is live (itr >= occupancy_start), render with
+    # occ_march_steps stratified samples inside the occupancy-tightened
+    # [near, far] span — ONE field eval instead of the coarse+importance
+    # double eval, no argsort/searchsorted.  ~half the gather rows (the
+    # TPU bottleneck) at comparable effective sample density, because
+    # the tightened span concentrates the whole budget on matter.
+    # None = keep two-phase sampling throughout (reference semantics).
+    occ_march_steps: Optional[int] = None
+    # fetch loss scalars from device every N iterations instead of every
+    # iteration (the reference's eval cadence, ``distillation.py:355``):
+    # a per-iter float() fetch costs a host<->device round trip that
+    # serializes the dispatch pipeline on relay-latency backends.
+    loss_fetch_every: int = 20
     # torch-ngp opt density_thresh (``distillation.py:513``) — the raw-sigma
     # cutoff for marking a grid cell occupied (NOT the density-blob prior
     # amplitude, which is cfg.ngp.density_blob_scale).
@@ -126,6 +142,21 @@ class DistillConfig:
     # store render residuals instead of re-rendering chunks in backward
     # (chunked renders at tpu-preset sizes fit HBM comfortably)
     remat: bool = True
+
+    def __post_init__(self):
+        # subset sizes above max_ray_batch would hit the chunked
+        # renderer's opaque `n % chunk == 0` assert (render/volume.py);
+        # validate at config time with an actionable message instead
+        for name in ("input_rays", "fusion_rays"):
+            v = getattr(self, name)
+            if v and v > self.max_ray_batch \
+                    and v % self.max_ray_batch != 0:
+                raise ValueError(
+                    f"{name}={v} exceeds max_ray_batch="
+                    f"{self.max_ray_batch} but is not a multiple of it; "
+                    "the chunked renderer needs equal chunks — use a "
+                    f"multiple of {self.max_ray_batch} or raise "
+                    "max_ray_batch")
 
 
 def tpu_distill_config(**overrides) -> DistillConfig:
@@ -251,6 +282,23 @@ def distillation_loop(
         num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
         bound=cfg.bound, min_near=cfg.min_near,
         max_ray_batch=cfg.max_ray_batch)
+    # single-pass marching config, active once the occupancy grid is live
+    # (every jitted step below takes the render config as a STATIC arg,
+    # so the two modes are two cache entries of the same function)
+    march_on = bool(cfg.use_occupancy and cfg.occ_march_steps)
+    vcfg_march = dataclasses.replace(
+        vcfg, march_steps=int(cfg.occ_march_steps)) if march_on else vcfg
+
+    def active_vcfg(itr: int) -> VolumeRendererConfig:
+        return vcfg_march if (march_on and itr >= cfg.occupancy_start) \
+            else vcfg
+
+    # donating params/opt_state lets XLA reuse their buffers in-place;
+    # CPU backends don't implement donation (noisy warnings in tests)
+    _donate = (1, 2) if jax.default_backend() != "cpu" else ()
+
+    def _jit_step(fn):
+        return jax.jit(fn, static_argnums=(0,), donate_argnums=_donate)
 
     input_idx = list(int(i) for i in input_idx)
     n_cache = len(aug_rel)
@@ -362,9 +410,9 @@ def distillation_loop(
         flat = img_hw.reshape(-1, img_hw.shape[-1])
         return jnp.take(flat, ray_idx, axis=0)
 
-    def input_losses(params, cam, gt_rgb, gt_mask, key, bitfield):
+    def input_losses(vc, params, cam, gt_rgb, gt_mask, key, bitfield):
         ray_idx, key = _ray_subset(key)
-        img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
                                perturb=True, near_far_fn=make_nff(bitfield),
                                ray_idx=ray_idx, remat=cfg.remat)
         gt_rgb_ds = resize_nearest(gt_rgb[None], (render_hw, render_hw))[0]
@@ -381,36 +429,37 @@ def distillation_loop(
                 jnp.sqrt(sil ** 2 + 0.01))
         return loss
 
-    @jax.jit
-    def input_step(params, opt_state, cam, gt_rgb, gt_mask, key, bitfield):
-        loss, grads = jax.value_and_grad(input_losses)(
-            params, cam, gt_rgb, gt_mask, key, bitfield)
+    @_jit_step
+    def input_step(vc, params, opt_state, cam, gt_rgb, gt_mask, key,
+                   bitfield):
+        loss, grads = jax.value_and_grad(input_losses, argnums=1)(
+            vc, params, cam, gt_rgb, gt_mask, key, bitfield)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def _render_up(params, cam, key, bitfield):
-        img, sil = _render_cam(ngp_model, params, cam, render_hw, vcfg, key,
+    def _render_up(vc, params, cam, key, bitfield):
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
                                perturb=True, near_far_fn=make_nff(bitfield),
                                remat=cfg.remat)
         img = resize_bilinear(img[None], (image_size, image_size))[0]
         sil = resize_bilinear(sil[None], (image_size, image_size))[0]
         return img, sil
 
-    def bootstrap_losses(params, cam, eft_img, key, bitfield):
+    def bootstrap_losses(vc, params, cam, eft_img, key, bitfield):
         if cfg.input_rays:
             # subsampled variant: compare at render_hw scale against the
             # box-downsampled EFT target (the full-grid reference path
             # compares the bilinear-upsampled render at image_size)
             ray_idx, key = _ray_subset(key)
             img, sil = _render_cam(
-                ngp_model, params, cam, render_hw, vcfg, key, perturb=True,
+                ngp_model, params, cam, render_hw, vc, key, perturb=True,
                 near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
                 remat=cfg.remat)
             eft_ds = resize_bilinear(eft_img[None],
                                      (render_hw, render_hw))[0]
             target = _at_rays(eft_ds, ray_idx)
         else:
-            img, sil = _render_up(params, cam, key, bitfield)
+            img, sil = _render_up(vc, params, cam, key, bitfield)
             target = eft_img
         noisy_mask = jnp.mean(target, axis=-1, keepdims=True)
         noisy_mask = (noisy_mask > 0.1).astype(jnp.float32)
@@ -419,10 +468,10 @@ def distillation_loop(
         loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
         return loss
 
-    @jax.jit
-    def bootstrap_step(params, opt_state, cam, eft_img, key, bitfield):
-        loss, grads = jax.value_and_grad(bootstrap_losses)(
-            params, cam, eft_img, key, bitfield)
+    @_jit_step
+    def bootstrap_step(vc, params, opt_state, cam, eft_img, key, bitfield):
+        loss, grads = jax.value_and_grad(bootstrap_losses, argnums=1)(
+            vc, params, cam, eft_img, key, bitfield)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -441,9 +490,9 @@ def distillation_loop(
     # The reference runs the sampler under no_grad anyway
     # (distillation.py:298-309); rendering twice with the same key
     # reproduces the identical image in both programs.
-    @jax.jit
-    def fusion_render_fwd(params, cam, k_r, bitfield):
-        img, _ = _render_up(params, cam, k_r, bitfield)
+    @partial(jax.jit, static_argnums=(0,))
+    def fusion_render_fwd(vc, params, cam, k_r, bitfield):
+        img, _ = _render_up(vc, params, cam, k_r, bitfield)
         return img
 
     use_host_plms = cfg.plms_host_loop
@@ -481,22 +530,23 @@ def distillation_loop(
             pred_img = models.vae_decode(pred_x0)[0]
             return pred_img, 1.0 - alpha_cumprod[0]
 
-    def fusion_target(params, cam, features, k_r, k_t, k_s, bitfield,
+    def fusion_target(vc, params, cam, features, k_r, k_t, k_s, bitfield,
                       max_thres):
-        img = fusion_render_fwd(params, cam, k_r, bitfield)
+        img = fusion_render_fwd(vc, params, cam, k_r, bitfield)
         return fusion_sample(img, features, k_t, k_s, max_thres)
 
     use_percep = lpips_fn is not None and cfg.lambda_percep > 0
     subsample_fusion = bool(cfg.fusion_rays) and not use_percep \
         and cfg.fusion_rays < render_hw * render_hw
 
-    def fusion_losses(params, cam, pred_img, fusion_weight, k_r, bitfield):
+    def fusion_losses(vc, params, cam, pred_img, fusion_weight, k_r,
+                      bitfield):
         if subsample_fusion:
             k_sel, k_r = jax.random.split(k_r)
             ray_idx = jax.random.randint(k_sel, (cfg.fusion_rays,), 0,
                                          render_hw * render_hw)
             img, sil = _render_cam(
-                ngp_model, params, cam, render_hw, vcfg, k_r, perturb=True,
+                ngp_model, params, cam, render_hw, vc, k_r, perturb=True,
                 near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
                 remat=cfg.remat)
             pred_ds = resize_bilinear(pred_img[None],
@@ -506,7 +556,7 @@ def distillation_loop(
             loss += cfg.lambda_opacity * jnp.mean(
                 jnp.sqrt(sil ** 2 + 0.01))
             return loss
-        img, sil = _render_up(params, cam, k_r, bitfield)
+        img, sil = _render_up(vc, params, cam, k_r, bitfield)
         loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
         if use_percep:
             # perceptual term active after start_fusion_step
@@ -516,22 +566,22 @@ def distillation_loop(
         loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
         return loss
 
-    @jax.jit
-    def fusion_grad_step(params, opt_state, cam, pred_img, fusion_weight,
-                         k_r, bitfield):
-        loss, grads = jax.value_and_grad(fusion_losses)(
-            params, cam, pred_img, fusion_weight, k_r, bitfield)
+    @_jit_step
+    def fusion_grad_step(vc, params, opt_state, cam, pred_img,
+                         fusion_weight, k_r, bitfield):
+        loss, grads = jax.value_and_grad(fusion_losses, argnums=1)(
+            vc, params, cam, pred_img, fusion_weight, k_r, bitfield)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def fusion_step(params, opt_state, cam, features, key, bitfield,
+    def fusion_step(vc, params, opt_state, cam, features, key, bitfield,
                     max_thres=None):
         k_r, k_t, k_s = jax.random.split(key, 3)
-        pred_img, weight = fusion_target(params, cam, features, k_r, k_t,
-                                         k_s, bitfield, max_thres)
+        pred_img, weight = fusion_target(vc, params, cam, features, k_r,
+                                         k_t, k_s, bitfield, max_thres)
         pred_img = jax.lax.stop_gradient(pred_img)
-        return fusion_grad_step(params, opt_state, cam, pred_img, weight,
-                                k_r, bitfield)
+        return fusion_grad_step(vc, params, opt_state, cam, pred_img,
+                                weight, k_r, bitfield)
 
     @jax.jit
     def occ_density_fn(params, pts):
@@ -540,10 +590,28 @@ def distillation_loop(
 
     host_rng = np.random.RandomState(17)
     losses, fusion_losses_log = [], []
+    pending, pending_f = [], []   # device scalars awaiting a bulk fetch
     iter_times = []
+    sync_times = []               # (itr, wall) at each loss-fetch sync
+    fetch_every = max(1, int(cfg.loss_fetch_every))
+
+    def _drain_pending(itr):
+        # one bulk device_get for up to 2*fetch_every scalars — the
+        # per-iter float() fetch it replaces serialized the dispatch
+        # pipeline with one host<->device round trip per iteration
+        if pending:
+            losses.extend(float(v) for v in jax.device_get(pending))
+            pending.clear()
+        if pending_f:
+            fusion_losses_log.extend(
+                float(v) for v in jax.device_get(pending_f))
+            pending_f.clear()
+        sync_times.append((itr, time.time()))
+
     t0 = time.time()
     for itr in range(cfg.max_itr):
         rng, k1, k2 = jax.random.split(rng, 3)
+        vc = active_vcfg(itr)
 
         # occupancy maintenance (cuda_ray-path equivalent,
         # distillation.py:181-182)
@@ -560,7 +628,7 @@ def distillation_loop(
         gt_rgb = scene_rgb[bi]
         gt_mask = scene_mask[bi] if scene_mask is not None else None
         ngp_params, opt_state, loss = input_step(
-            ngp_params, opt_state, cam, gt_rgb, gt_mask, k1, bitfield)
+            vc, ngp_params, opt_state, cam, gt_rgb, gt_mask, k1, bitfield)
 
         floss = None
         if use_diffusion:
@@ -569,36 +637,42 @@ def distillation_loop(
             cam_f = feature_cache["cameras_vox"][ci]
             if itr > cfg.start_fusion_step:
                 ngp_params, opt_state, floss = fusion_step(
-                    ngp_params, opt_state, cam_f,
+                    vc, ngp_params, opt_state, cam_f,
                     feature_cache["features"][ci], k2, bitfield,
                     max_thres=mt)
             else:
                 ngp_params, opt_state, floss = bootstrap_step(
-                    ngp_params, opt_state, cam_f,
+                    vc, ngp_params, opt_state, cam_f,
                     feature_cache["eft_images"][ci], k2, bitfield)
 
-        # fetch loss scalars only after BOTH steps are dispatched — a
-        # fetch between them would serialize the pipeline every iteration
-        losses.append(float(loss))
+        # keep loss handles; fetch in bulk every fetch_every iterations
+        pending.append(loss)
         if floss is not None:
-            fusion_losses_log.append(float(floss))
+            pending_f.append(floss)
+        if (itr + 1) % fetch_every == 0 or itr == cfg.max_itr - 1:
+            _drain_pending(itr)
 
         iter_times.append(time.time())
-        if verbose and itr % 200 == 0:
+        if verbose and itr % 200 == 0 and losses:
             print(f"itr {itr:5d} loss {losses[-1]:.4f} "
                   f"({(itr + 1) / (time.time() - t0):.2f} it/s)")
 
         # intermediate loss plots + render dump (distillation.py:355-388)
         if (cfg.eval_every > 0 and save_dir is not None
                 and itr % cfg.eval_every == 0 and itr > 0):
+            _drain_pending(itr)
             _save_intermediate(save_dir, scene.sequence_name, losses,
                                fusion_losses_log)
 
     # ---- Phase C: eval (distillation.py:391-497) -------------------------
+    # evaluate with the mode the field was trained under at the end
+    # (single-pass march when occupancy marching is active)
+    vcfg_eval = active_vcfg(cfg.max_itr)
+
     @jax.jit
     def eval_render(params, cam, key, bitfield):
-        img, sil = _render_cam(ngp_model, params, cam, image_size, vcfg,
-                               key, perturb=True,
+        img, sil = _render_cam(ngp_model, params, cam, image_size,
+                               vcfg_eval, key, perturb=True,
                                near_far_fn=make_nff(bitfield))
         return img, sil
 
@@ -641,7 +715,8 @@ def distillation_loop(
         def one(i):
             img, sil = _render_cam(ngp_model, params,
                                    get_camera_slice(cams, i[None]),
-                                   image_size, vcfg, keys[i], perturb=True,
+                                   image_size, vcfg_eval, keys[i],
+                                   perturb=True,
                                    near_far_fn=make_nff(bitfield))
             return img, sil
 
@@ -665,9 +740,13 @@ def distillation_loop(
         "metrics": summary,
         "losses": losses,
         "fusion_losses": fusion_losses_log,
-        # host wall-clock at the end of each iteration (the per-iter
-        # float(loss) fetch synchronizes, so diffs are physical times)
+        # host wall-clock at the end of each iteration; NOTE: the host
+        # only synchronizes with the device at loss-fetch boundaries
+        # (every cfg.loss_fetch_every iters), so per-iter diffs are
+        # dispatch times — use ``sync_times`` (itr, wall) pairs for
+        # physical per-iteration timing
         "iter_times": iter_times,
+        "sync_times": sync_times,
     }
 
     if save_dir is not None:

@@ -35,6 +35,15 @@ class VolumeRendererConfig:
     min_near: float = 0.1
     density_thresh: float = 10.0
     max_ray_batch: int = 4096
+    # march_steps > 0 switches to SINGLE-PASS marching: march_steps
+    # stratified samples in [near, far] (meant to be occupancy-tightened
+    # via near_far_fn), ONE field eval, no importance resampling and no
+    # sort — the TPU-native equivalent of the reference's cuda_ray
+    # marcher (``raymarching.cu:312-480``: fixed-dt steps through
+    # occupied space; here the fixed budget lands on the occupied span).
+    # Roughly half the gather rows of num_steps+upsample_steps two-phase
+    # rendering at equal total samples, and no argsort/searchsorted.
+    march_steps: int = 0
 
 
 _MISS = 1e10
@@ -141,6 +150,35 @@ def render_rays(field_fn: Callable, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         nears, fars = near_far_fn(rays_o, rays_d, nears, fars)
     nears_c = nears[:, None]
     fars_c = fars[:, None]
+
+    if cfg.march_steps > 0:
+        # -------- single-pass occupancy marching (see config docstring)
+        sample_dist = (fars_c - nears_c) / cfg.march_steps
+        z = jnp.linspace(0.0, 1.0, cfg.march_steps)
+        z_vals = nears_c + (fars_c - nears_c) * z[None, :]
+        if perturb:
+            rng, k = jax.random.split(rng)
+            z_vals = z_vals + (jax.random.uniform(k, z_vals.shape) - 0.5) \
+                * sample_dist
+        p = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        p = jnp.clip(p, -cfg.bound, cfg.bound)
+        sigmas, rgbs = field_fn(p.reshape(-1, 3))
+        sigmas = sigmas.reshape(n, cfg.march_steps)
+        rgbs = rgbs.reshape(n, cfg.march_steps, 3)
+        weights, weights_sum = _composite(sigmas, rgbs, z_vals, sample_dist)
+        image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        ori_z = jnp.clip((z_vals - nears_c) / (fars_c - nears_c), 0.0, 1.0)
+        depth = jnp.sum(weights * ori_z, axis=-1)
+        if bg_fn is not None:
+            bg_color = bg_fn(rays_d)
+        image = image + (1.0 - weights_sum)[..., None] * bg_color
+        return {
+            "image": image,
+            "depth": depth,
+            "weights_sum": weights_sum,
+            "mask": nears < fars,
+        }
+
     sample_dist = (fars_c - nears_c) / cfg.num_steps
 
     z = jnp.linspace(0.0, 1.0, cfg.num_steps)

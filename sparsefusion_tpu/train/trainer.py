@@ -19,7 +19,7 @@ sizes round-robin to get the same coverage with <=4 compiles).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +53,14 @@ class TrainConfig:
     valid_thresh: float = 0.6
     # Skip (rather than apply) updates whose grads contain non-finite
     # values — the TPU analogue of the reference's per-sequence backward
-    # try/except + continue (``train.py:426-432``).  The count of skipped
-    # steps is surfaced from the optimizer state by the CLI.
+    # try/except + continue (``train.py:426-432``).  Unlike
+    # ``optax.apply_if_finite`` (which "gives up" and APPLIES the update
+    # after K consecutive non-finite batches, silently poisoning params),
+    # :func:`zero_if_not_finite` never applies a bad update: it emits a
+    # zero update, leaves the inner optimizer state untouched, and keeps
+    # counting.  The count of skipped steps is surfaced from the
+    # optimizer state by the CLI so persistent divergence is visible.
     guard_nonfinite: bool = True
-    guard_max_consecutive: int = 5
 
 
 @dataclasses.dataclass
@@ -66,6 +70,54 @@ class TrainState:
     opt_state: Any
     eft_opt_state: Any
     step: int = 0
+
+
+class ZeroIfNotFiniteState(NamedTuple):
+    """State for :func:`zero_if_not_finite`.
+
+    ``total_notfinite`` mirrors the field name of
+    ``optax.ApplyIfFiniteState`` so :func:`notfinite_count` reads both.
+    """
+
+    total_notfinite: jnp.ndarray
+    inner_state: Any
+
+
+def zero_if_not_finite(inner: optax.GradientTransformation
+                       ) -> optax.GradientTransformation:
+    """Never apply a non-finite update (unlike ``optax.apply_if_finite``).
+
+    When any gradient leaf contains NaN/inf the emitted update is all
+    zeros and the inner optimizer state is left untouched — the exact
+    analogue of the reference's try/except + ``continue`` around
+    ``loss.backward()`` (``train.py:426-432``), which drops the batch
+    entirely.  ``optax.apply_if_finite`` instead gives up after K
+    consecutive bad batches and applies the poisoned update; this
+    transformation keeps skipping (and counting) forever.
+    """
+
+    def init_fn(params):
+        return ZeroIfNotFiniteState(jnp.zeros([], jnp.int32),
+                                    inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        is_finite = jnp.all(jnp.asarray([
+            jnp.all(jnp.isfinite(u))
+            for u in jax.tree_util.tree_leaves(updates)]))
+        new_updates, new_inner = inner.update(updates, state.inner_state,
+                                              params)
+        # select, not cond: both arms are cheap elementwise ops and a
+        # select keeps the step a single fused program on TPU
+        out_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(is_finite, u, jnp.zeros_like(u)),
+            new_updates)
+        out_inner = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(is_finite, n, o),
+            new_inner, state.inner_state)
+        count = state.total_notfinite + jnp.where(is_finite, 0, 1)
+        return out_updates, ZeroIfNotFiniteState(count, out_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -78,8 +130,8 @@ def make_optimizers(cfg: TrainConfig):
         decay_rate=cfg.lr_decay_gamma, staircase=True)
     eft_tx = optax.adam(eft_sched)
     if cfg.guard_nonfinite:
-        tx = optax.apply_if_finite(tx, cfg.guard_max_consecutive)
-        eft_tx = optax.apply_if_finite(eft_tx, cfg.guard_max_consecutive)
+        tx = zero_if_not_finite(tx)
+        eft_tx = zero_if_not_finite(eft_tx)
     return tx, eft_tx
 
 

@@ -28,3 +28,27 @@ def test_tpu_preset_distillation_runs(tmp_path):
     # test_distillation); just require sane bounded losses throughout.
     assert np.all(np.isfinite(out["losses"]))
     assert np.max(out["losses"]) < 10.0
+
+
+@pytest.mark.slow
+def test_march_mode_distillation_runs(tmp_path):
+    """occ_march_steps switches to single-pass marching mid-loop: the
+    loop must run through the mode switch (two-phase -> march at
+    occupancy_start), keep finite losses, and produce finite renders."""
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=3, image_size=32, seed=1)
+    cfg = tpu_distill_config(
+        max_itr=30, start_fusion_step=10 ** 9, n_aug_cameras=2,
+        num_steps=8, upsample_steps=8, max_ray_batch=256,
+        occupancy_start=10, occupancy_update_every=8,
+        occ_march_steps=12, loss_fetch_every=7,
+        ngp=NGPConfig(num_levels=4, level_dim=4, log2_hashmap_size=10))
+    out = distillation_loop(models, scene, [0, 1], cfg,
+                            jax.random.PRNGKey(0), use_diffusion=False,
+                            verbose=False)
+    assert np.all(np.isfinite(out["renders"]))
+    assert np.isfinite(out["metrics"]["psnr"])
+    # batched fetches must still record every iteration's loss
+    assert len(out["losses"]) == 30
+    assert np.all(np.isfinite(out["losses"]))
+    assert len(out["sync_times"]) >= 30 // 7

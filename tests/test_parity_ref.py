@@ -260,6 +260,122 @@ def test_unet_cfg_guidance_parity(unet_pair):
 
 
 # ---------------------------------------------------------------------------
+# mid-size 4-level configs — the REAL SparseFusion topology at reduced width
+# ---------------------------------------------------------------------------
+# The real SF UNet is dim 256, mults (1,2,4,4), resnet blocks (2,2,2,2),
+# self-attn at the top level only (``utils/load_model.py:60-68``); the SD
+# VAE is ch 128, ch_mult (1,2,4,4), 2 res blocks (``external/ldm/configs/
+# sd-vae.yaml``).  The tiny 2-level configs above miss converter branches
+# those shapes exercise (multi-block levels, attn-free levels, deeper
+# stems, VAE levels with channel changes but no attention) — these
+# fixtures keep the exact 4-level TOPOLOGY at dim 64/ch 32 so every
+# branch the real checkpoint hits is numerically covered without OOM.
+
+MID_UNET = dict(dim=64, dim_mults=(1, 2, 4, 4),
+                num_resnet_blocks=(2, 2, 2, 2),
+                layer_attns=(False, False, False, True),
+                layer_cross_attns=(False, False, False, False),
+                channels=4, cond_images_channels=16, attn_heads=4,
+                attn_dim_head=16)
+
+MID_DD = dict(double_z=True, z_channels=4, resolution=64, in_channels=3,
+              out_ch=3, ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+              attn_resolutions=[], dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def mid_unet_pair():
+    torch.manual_seed(21)
+    ref = RefUnet(attn_pool_text=False, **MID_UNET).eval()
+    cfg = UNetConfig(**MID_UNET)
+    mine = EfficientUNet(cfg)
+    params = convert_unet_state_dict(
+        ref.state_dict(), num_levels=4,
+        num_resnet_blocks=MID_UNET["num_resnet_blocks"],
+        layer_attns=MID_UNET["layer_attns"], prefix="")
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return ref, mine, params
+
+
+@pytest.mark.slow
+def test_mid_unet_forward_parity(mid_unet_pair):
+    """Forward parity at the SF 4-level topology, 32x32 latents."""
+    ref, mine, params = mid_unet_pair
+    rng = np.random.RandomState(14)
+    x = rng.randn(1, 4, 32, 32).astype(np.float32)
+    cond = rng.randn(1, 16, 32, 32).astype(np.float32)
+    log_snr = np.array([-0.7], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(log_snr),
+                      cond_images=torch.from_numpy(cond),
+                      cond_drop_prob=0.0).numpy()
+    my_out = mine.apply(
+        {"params": params}, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        jnp.asarray(log_snr), jnp.transpose(jnp.asarray(cond), (0, 2, 3, 1)),
+        jnp.ones((1,), bool))
+    np.testing.assert_allclose(nhwc2nchw_np(my_out), ref_out, atol=5e-4,
+                               rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_mid_unet_cfg_parity(mid_unet_pair):
+    ref, mine, params = mid_unet_pair
+    rng = np.random.RandomState(15)
+    x = rng.randn(1, 4, 32, 32).astype(np.float32)
+    cond = rng.randn(1, 16, 32, 32).astype(np.float32)
+    log_snr = np.array([0.9], np.float32)
+    with torch.no_grad():
+        ref_out = ref.forward_with_cond_scale(
+            torch.from_numpy(x), torch.from_numpy(log_snr),
+            cond_images=torch.from_numpy(cond), cond_scale=2.0).numpy()
+
+    def denoise(keep):
+        return mine.apply(
+            {"params": params}, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+            jnp.asarray(log_snr),
+            jnp.transpose(jnp.asarray(cond), (0, 2, 3, 1)), keep)
+
+    logits = denoise(jnp.ones((1,), bool))
+    null_logits = denoise(jnp.zeros((1,), bool))
+    my_out = null_logits + (logits - null_logits) * 2.0
+    np.testing.assert_allclose(nhwc2nchw_np(my_out), ref_out, atol=1e-3,
+                               rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def mid_vae_pair():
+    torch.manual_seed(23)
+    ref = RefVAE(ddconfig=dict(MID_DD), embed_dim=4,
+                 lossconfig={"target": "torch.nn.Identity"}).eval()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=2)
+    mine = AutoencoderKL(cfg)
+    variables = convert_vae_state_dict(sd, ch_mult=cfg.ch_mult,
+                                       num_res_blocks=cfg.num_res_blocks)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    return ref, mine, variables
+
+
+@pytest.mark.slow
+def test_mid_vae_roundtrip_parity(mid_vae_pair):
+    """Encode + decode parity at the SD 4-level ch_mult topology."""
+    ref, mine, variables = mid_vae_pair
+    rng = np.random.RandomState(16)
+    x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_z = ref.encode(torch.from_numpy(x)).mode()
+        ref_out = ref.decode(ref_z).numpy()
+    my_z = mine.apply(variables,
+                      jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+                      method=AutoencoderKL.encode_mode)
+    np.testing.assert_allclose(nhwc2nchw_np(my_z), ref_z.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    my_out = mine.apply(variables, my_z, method=AutoencoderKL.decode)
+    np.testing.assert_allclose(nhwc2nchw_np(my_out), ref_out, atol=1e-3,
+                               rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # full PLMS trajectory
 # ---------------------------------------------------------------------------
 
@@ -306,6 +422,58 @@ def test_plms_trajectory_parity(unet_pair, monkeypatch, max_thres):
 
     np.testing.assert_allclose(nhwc2nchw_np(my_img), ref_img.numpy(),
                                atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(nhwc2nchw_np(my_xn), ref_xn.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(my_ac).reshape(-1),
+                               ref_ac.numpy().reshape(-1), atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("max_thres", [0.999, 0.42])
+def test_plms_trajectory_parity_midsize(mid_unet_pair, monkeypatch,
+                                        max_thres):
+    """PLMS trajectory at the REAL latent size (32x32x4) with the 4-level
+    SF-topology UNet, 20 steps, and a TIGHT final-image tolerance — small
+    systematic per-step drifts that 8x8/atol=2e-3 could hide would
+    compound visibly here."""
+    ref_unet, mine, params = mid_unet_pair
+    ref_ddpm = RefDDPM(
+        unets=(ref_unet,), image_sizes=(32,), channels=4, timesteps=500,
+        cond_drop_prob=0.1, pred_objectives="noise", conditional=False,
+        conditional_encoder=None, conditional_embed_dim=None,
+        auto_normalize_img=False, clip_output=True,
+        dynamic_thresholding=False, clip_value=10.0)
+    ref_sampler = RefPLMSSampler(ref_ddpm, plms_steps=20)
+
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.zeros_like(t))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(plms_mod, "_XPREV_JIT_CACHE", {})
+
+    rng = np.random.RandomState(17)
+    image = rng.randn(1, 4, 32, 32).astype(np.float32)
+    cond = rng.randn(1, 16, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        ref_img, ref_xn, _, ref_ac = ref_sampler.sample(
+            image=torch.from_numpy(image), max_thres=max_thres,
+            cond_images=torch.from_numpy(cond), cond_scale=1.0,
+            use_tqdm=False, return_noise=True)
+
+    ddpm = DDPM(DDPMConfig(channels=4, image_size=32, timesteps=500))
+
+    def denoise_fn(x, log_snr, cond_images, keep):
+        return mine.apply({"params": params}, x, log_snr, cond_images, keep)
+
+    my_img, my_xn, _, my_ac = plms_sample_host(
+        ddpm, denoise_fn, jax.random.PRNGKey(0),
+        jnp.transpose(jnp.asarray(image), (0, 2, 3, 1)), max_thres,
+        cond_images=jnp.transpose(jnp.asarray(cond), (0, 2, 3, 1)),
+        cond_scale=1.0, plms_steps=20)
+
+    np.testing.assert_allclose(nhwc2nchw_np(my_img), ref_img.numpy(),
+                               atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(nhwc2nchw_np(my_xn), ref_xn.numpy(),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(my_ac).reshape(-1),

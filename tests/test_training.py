@@ -93,11 +93,13 @@ def test_shard_scene_list():
 
 @pytest.mark.slow
 def test_nonfinite_guard_skips_update():
-    """A NaN batch must skip the update, not corrupt params.
+    """A NaN batch must skip the update, not corrupt params — forever.
 
     TPU analogue of the reference's per-sequence backward try/except +
-    continue (``train.py:426-432``): ``optax.apply_if_finite`` drops the
-    non-finite update and counts it in the optimizer state.
+    continue (``train.py:426-432``): ``zero_if_not_finite`` drops the
+    non-finite update and counts it in the optimizer state.  Unlike
+    ``optax.apply_if_finite`` it must NOT "give up" and apply a NaN
+    update after K consecutive bad batches (ADVICE round 2).
     """
     from sparsefusion_tpu.train.trainer import notfinite_count
 
@@ -116,15 +118,24 @@ def test_nonfinite_guard_skips_update():
     bad["query_rgb"] = bad["query_rgb"].at[..., 0].set(jnp.nan)
 
     before = jax.device_get(state["unet_params"])
-    state, aux = step_fn(state, bad, jax.random.PRNGKey(0))
+    # 7 consecutive bad batches — more than apply_if_finite's old K=5
+    # give-up threshold; params must stay bit-identical throughout
+    for i in range(7):
+        state, aux = step_fn(state, bad, jax.random.PRNGKey(i))
     after = jax.device_get(state["unet_params"])
 
-    assert notfinite_count(state["opt_state"]) == 1
+    assert notfinite_count(state["opt_state"]) == 7
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), before, after)
 
     # and a clean batch afterwards still applies normally
     good = make_batch(models, 1)
-    state, aux = step_fn(state, good, jax.random.PRNGKey(1))
+    state, aux = step_fn(state, good, jax.random.PRNGKey(7))
     assert np.isfinite(float(aux["loss"]))
-    assert notfinite_count(state["opt_state"]) == 1
+    assert notfinite_count(state["opt_state"]) == 7
+    after2 = jax.device_get(state["unet_params"])
+    changed = any(
+        not np.array_equal(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(after),
+            jax.tree_util.tree_leaves(after2)))
+    assert changed, "clean batch after NaN streak must still update"

@@ -135,6 +135,84 @@ def test_chunked_matches_unchunked():
     np.testing.assert_allclose(a["weights_sum"], b["weights_sum"], atol=1e-5)
 
 
+def test_march_mode_opaque_hits_albedo():
+    """Single-pass marching must agree with two-phase on simple fields."""
+    cfg = VolumeRendererConfig(num_steps=0, upsample_steps=0, bound=4.0,
+                               march_steps=64)
+    o, d = make_rays()
+    out = render_rays(constant_field(50.0, [0.2, 0.5, 0.8]), o, d, cfg,
+                      det_importance=True, bg_color=0.0)
+    np.testing.assert_allclose(out["image"],
+                               np.tile([[0.2, 0.5, 0.8]], (4, 1)), atol=1e-3)
+    np.testing.assert_allclose(out["weights_sum"], np.ones(4), atol=1e-4)
+
+
+def test_march_mode_transmittance_matches_analytic():
+    sigma = 0.3
+    cfg = VolumeRendererConfig(bound=4.0, march_steps=256)
+    o, d = make_rays(1)
+    out = render_rays(constant_field(sigma, [1.0, 1.0, 1.0]), o, d, cfg,
+                      det_importance=True)
+    seg = 8.0 + 8.0 / cfg.march_steps
+    expected = 1 - np.exp(-sigma * seg)
+    np.testing.assert_allclose(float(out["weights_sum"][0]), expected,
+                               atol=0.01)
+
+
+def test_march_mode_respects_near_far_fn():
+    """The march budget must land inside the tightened [near, far] span."""
+    cfg = VolumeRendererConfig(bound=4.0, march_steps=32)
+    o, d = make_rays(2)
+
+    # density only in z within [1, 2] (world t in [9, 10] from o.z=-8)
+    def field(x):
+        s = jnp.where((x[..., 2] > 1.0) & (x[..., 2] < 2.0), 80.0, 0.0)
+        c = jnp.broadcast_to(jnp.array([0.1, 0.9, 0.4]), (*x.shape[:-1], 3))
+        return s, c
+
+    def tighten(o_, d_, near, far):
+        return jnp.full_like(near, 8.8), jnp.full_like(far, 10.2)
+
+    loose = render_rays(field, o, d, cfg, det_importance=True)
+    tight = render_rays(field, o, d, cfg, det_importance=True,
+                        near_far_fn=tighten)
+    # 32 samples over the [9,10] slab hit the 1-unit occupied span ~always;
+    # over the full [4,12] span they straddle it more coarsely — the
+    # tightened render must be at least as opaque and match the albedo
+    assert float(tight["weights_sum"][0]) >= \
+        float(loose["weights_sum"][0]) - 1e-5
+    np.testing.assert_allclose(tight["image"][0],
+                               [0.1, 0.9, 0.4], atol=2e-2)
+
+
+def test_march_mode_gradients_flow():
+    cfg = VolumeRendererConfig(bound=4.0, march_steps=16)
+    o, d = make_rays(2)
+
+    def loss(log_sigma):
+        def field(x):
+            s = jnp.exp(log_sigma) * jnp.ones(x.shape[:-1])
+            c = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.5]),
+                                 (*x.shape[:-1], 3))
+            return s, c
+        out = render_rays(field, o, d, cfg, rng=jax.random.PRNGKey(0),
+                          perturb=True, det_importance=False)
+        return jnp.sum(out["image"])
+
+    g = jax.grad(loss)(jnp.asarray(0.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_march_mode_chunked_matches_unchunked():
+    cfg = VolumeRendererConfig(bound=4.0, march_steps=16, max_ray_batch=4)
+    o, d = make_rays(8)
+    f = constant_field(1.0, [0.3, 0.6, 0.9])
+    a = render_rays(f, o, d, cfg, det_importance=True)
+    b = render_rays_chunked(f, o, d, cfg, det_importance=True)
+    np.testing.assert_allclose(a["image"], b["image"], atol=1e-5)
+    np.testing.assert_allclose(a["weights_sum"], b["weights_sum"], atol=1e-5)
+
+
 def test_light_field_render_shapes():
     from sparsefusion_tpu.render.lightfield import render_light_field
     from tests.test_cameras import random_cameras
