@@ -12,18 +12,23 @@ The same JSON line carries an ``extra`` dict with the rest of the
 BASELINE metric set, measured on the shipped TPU preset
 (``tpu_distill_config``: 8x4 bf16 tables, 32+32 samples, 16k-ray chunks):
 
-* ``ngp_render_rays_per_sec``      — 128^2 render, forward only
-* ``ngp_train_rays_per_sec``       — input step (fwd+bwd+adam)
-* ``input_step_ms``                — per-iteration photometric step
+* ``ngp_render_rays_per_sec``      — 128^2 march-mode render, forward
+* ``ngp_train_rays_per_sec``       — march input step (fwd+bwd+adam)
+* ``input_step_ms``                — march-mode photometric step
                                      (the preset's 4096-ray subsample)
-* ``full_grad_step_ms``            — full-image fwd+bwd+adam (the
-                                     fusion grad step's render cost)
+* ``input_step_two_phase_ms``      — pre-occupancy 32+32 two-phase step
+* ``full_grad_step_ms``            — full-image march fwd+bwd+adam (the
+                                     LPIPS-active fusion variant)
 * ``vae_encode_ms`` / ``vae_decode_ms`` — 256^2 <-> 32^2x4 latents
-* ``est_distill_scene_minutes``    — 3000-iter scene estimate:
-      1000 x (input + bootstrap~=input) + 2000 x (input + fusion), where
-      fusion = render fwd + VAE enc + ~37.5 avg PLMS UNet evals + VAE dec
-      + grad step (~=input step).  37.5 = E[min(100*U(0,1), 50)]
-      (``plms.py:87`` semantics).
+* ``est_distill_scene_minutes``    — 3000-iter scene estimate under the
+      reference schedule (500 two-phase bootstrap + 500 march bootstrap
+      + 2000 march fusion iters), where a fusion iter = march input step
+      + full march render + VAE enc + ~37.5 avg PLMS UNet evals (single
+      eval per step: the fusion path runs cond_scale=1.0,
+      ``distillation.py:304``) + VAE dec + march grad step.
+      37.5 = E[min(100*U(0,1), 50)] (``plms.py:87`` semantics).
+      Cross-checked against the measured end-to-end drive
+      (benchmarks/distill_drive.py; see PERF.md round 3).
 
 Prints exactly one JSON line to stdout (progress goes to stderr).
 
@@ -100,7 +105,7 @@ def main():
         f"({time.time() - _t_start:.0f}s)")
 
     # ---- 2. NGP render + input step on the shipped TPU preset ------------
-    dt_in = dt_render = dt_full = None
+    dt_in = dt_in_two = dt_render = dt_full = None
     try:
         if over_budget():
             raise TimeoutError("budget")
@@ -132,10 +137,15 @@ def main():
         render_hw = 128
         n_rays = render_hw * render_hw
 
-        vcfg = VolumeRendererConfig(
+        vcfg_two = VolumeRendererConfig(
             num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
             bound=cfg.bound, min_near=cfg.min_near,
             max_ray_batch=cfg.max_ray_batch)
+        # the preset's post-occupancy single-pass marching config
+        import dataclasses as _dc
+
+        vcfg = _dc.replace(vcfg_two,
+                           march_steps=int(cfg.occ_march_steps or 32))
         ngp_model = NGPField(cfg.ngp)
         ngp_params = ngp_model.init(jax.random.PRNGKey(3),
                                     jnp.zeros((8, 3)))["params"]
@@ -168,7 +178,7 @@ def main():
         gt_mask_ds = resize_nearest(gt_mask[None],
                                     (render_hw, render_hw))[0]
 
-        def in_losses(p, key, sub_rays):
+        def in_losses(p, key, sub_rays, vc):
             ray_idx = None
             tgt_rgb, tgt_mask = gt_rgb_ds, gt_mask_ds
             if sub_rays:
@@ -178,7 +188,7 @@ def main():
                                    axis=0)
                 tgt_mask = jnp.take(gt_mask_ds.reshape(-1, 1), ray_idx,
                                     axis=0)
-            img, sil = _render_cam(ngp_model, p, cam, render_hw, vcfg, key,
+            img, sil = _render_cam(ngp_model, p, cam, render_hw, vc, key,
                                    perturb=True, near_far_fn=nff,
                                    ray_idx=ray_idx, remat=cfg.remat)
             loss = jnp.mean(jnp.abs(huber(img, tgt_rgb)))
@@ -186,11 +196,11 @@ def main():
             loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
             return loss
 
-        def make_step(sub_rays):
+        def make_step(sub_rays, vc):
             @jax.jit
             def input_step(p, o):
                 loss, grads = jax.value_and_grad(in_losses)(
-                    p, jax.random.PRNGKey(1), sub_rays)
+                    p, jax.random.PRNGKey(1), sub_rays, vc)
                 updates, o = tx.update(grads, o, p)
                 return optax.apply_updates(p, updates), o, loss
 
@@ -201,17 +211,24 @@ def main():
 
             return chain_step
 
-        # the shipped preset's input/bootstrap step (subsampled rays)
-        dt_in = timeit(make_step(cfg.input_rays), (ngp_params, opt_state),
-                       n1=3, n2=12)
+        # the shipped preset's march input/bootstrap step (subsampled)
+        dt_in = timeit(make_step(cfg.input_rays, vcfg),
+                       (ngp_params, opt_state), n1=3, n2=12)
         extra["input_step_ms"] = round(1e3 * dt_in, 1)
         extra["ngp_train_rays_per_sec"] = round(
             (cfg.input_rays or n_rays) / dt_in)
-        log(f"[bench] input step {1e3 * dt_in:.0f} ms "
+        log(f"[bench] march input step {1e3 * dt_in:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
 
-        # the fusion grad step renders the full image (VAE/LPIPS need it)
-        dt_full = timeit(make_step(None), (ngp_params, opt_state),
+        # the pre-occupancy two-phase step (iters < occupancy_start)
+        dt_in_two = timeit(make_step(cfg.input_rays, vcfg_two),
+                           (ngp_params, opt_state), n1=3, n2=12)
+        extra["input_step_two_phase_ms"] = round(1e3 * dt_in_two, 1)
+        log(f"[bench] two-phase input step {1e3 * dt_in_two:.0f} ms "
+            f"({time.time() - _t_start:.0f}s)")
+
+        # the LPIPS-active fusion grad variant renders the full image
+        dt_full = timeit(make_step(None, vcfg), (ngp_params, opt_state),
                          n1=3, n2=12)
         extra["full_grad_step_ms"] = round(1e3 * dt_full, 1)
         log(f"[bench] full grad step {1e3 * dt_full:.0f} ms "
@@ -261,18 +278,19 @@ def main():
         log(f"[bench] vae section skipped: {type(e).__name__}: {e}")
 
     # ---- 4. scene-minutes estimate ----------------------------------------
-    if None not in (dt_in, dt_render, dt_enc, dt_full):
-        # fusion iter = subsampled input step + full no-grad render +
-        # VAE enc/dec + avg PLMS UNet evals (x2 for CFG) + subsampled
-        # grad step (the shipped preset; dt_full is the LPIPS-active
-        # variant, reported separately).  Cross-check: the end-to-end
-        # drive (benchmarks/distill_drive.py) measured 271/510 ms
-        # bootstrap/fusion iters -> 21.5 min/scene.
-        fusion_s = (dt_render + dt_enc
-                    + AVG_PLMS_UNET_EVALS * 2 * dt_unet + dt_in)
-        bootstrap_iter_s = dt_in + dt_in  # bootstrap step ~= input step
-        fusion_iter_s = dt_in + fusion_s
-        est_min = (1000 * bootstrap_iter_s + 2000 * fusion_iter_s) / 60.0
+    if None not in (dt_in, dt_in_two, dt_render, dt_enc, dt_full):
+        # reference schedule: 500 two-phase bootstrap + 500 march
+        # bootstrap + 2000 march fusion iters.  A fusion iter = march
+        # input step + full march no-grad render + VAE enc/dec roundtrip
+        # + avg PLMS UNet evals (SINGLE eval per step — the fusion path
+        # runs cond_scale=1.0) + march grad step (~= march input step).
+        # Cross-check: the round-3 end-to-end drive measured 195 ms
+        # bootstrap / 307-313 ms march fusion iters, and a COMPLETE
+        # 3000-iter scene on hardware (see PERF.md round 3).
+        fusion_iter_s = (dt_in + dt_render + dt_enc
+                         + AVG_PLMS_UNET_EVALS * dt_unet + dt_in)
+        est_min = (500 * 2 * dt_in_two + 500 * 2 * dt_in
+                   + 2000 * fusion_iter_s) / 60.0
         extra["est_distill_scene_minutes"] = round(est_min, 1)
         extra["vs_a100_scene_wallclock"] = round(
             A100_REFERENCE_SCENE_MINUTES / est_min, 2)

@@ -21,6 +21,7 @@ Usage:
                 short drives exercise the march path
 """
 import argparse
+import os
 import sys
 import time
 
@@ -64,7 +65,23 @@ def main():
     models = build_models(jax.random.PRNGKey(0))
     print(f"[drive] models built {time.time() - t0:.0f}s", flush=True)
 
-    scene = make_synthetic_scene(n_views=4, image_size=256, seed=0)
+    # cache the fixture on disk: regenerating it costs minutes of
+    # CPU-backend renders per drive on the 1-core host
+    from sparsefusion_tpu.data.contract import SceneData
+
+    cache = "/tmp/sf_drive_scene_4_256_0.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        scene = SceneData(
+            images=z["images"], R=z["R"], T=z["T"], f=z["f"], c=z["c"],
+            valid_region=z["valid_region"], image_size=z["image_size"],
+            masks=z["masks"], sequence_name=str(z["seq"]))
+    else:
+        scene = make_synthetic_scene(n_views=4, image_size=256, seed=0)
+        np.savez(cache, images=scene.images, R=scene.R, T=scene.T,
+                 f=scene.f, c=scene.c, valid_region=scene.valid_region,
+                 image_size=scene.image_size, masks=scene.masks,
+                 seq=scene.sequence_name)
     print(f"[drive] scene ready {time.time() - t0:.0f}s", flush=True)
 
     over = {}

@@ -162,18 +162,27 @@ class DistillConfig:
 def tpu_distill_config(**overrides) -> DistillConfig:
     """TPU-tuned preset: fewer/wider hash levels (8 x C4 keeps the same
     32-d encoding but halves gather rows — the TPU bottleneck),
-    occupancy-guided 32+32 sampling after warmup, bf16 expanded tables,
-    one 16k-ray chunk per 128^2 render, stored render residuals instead
-    of remat (v5e HBM fits them comfortably), and 4096-ray subsampled
-    input/bootstrap steps (the torch-ngp NeRF-training idiom; unbiased
-    for the pixel-mean losses).  Measured on v5e: 641 -> 132 ms per
-    input step across round 2 (benchmarks/render_decompose.py; fusion
-    grad steps render the full image and measure 407 ms)."""
+    two-phase 32+32 sampling until the occupancy grid matures, then
+    SINGLE-PASS 32-sample occupancy marching (``occ_march_steps`` — the
+    cuda_ray-path equivalent: the whole budget lands inside the
+    occupancy-tightened span; one field eval, no sort), bf16 expanded
+    tables, one 16k-ray chunk per 128^2 render, stored render residuals
+    instead of remat (v5e HBM fits them comfortably), and 4096-ray
+    subsampled input/bootstrap steps (the torch-ngp NeRF-training
+    idiom; unbiased for the pixel-mean losses).
+
+    Measured on v5e (benchmarks/distill_drive.py, round 3): bootstrap
+    195 ms/iter, march fusion 307-313 ms/iter (was ~490 two-phase), and
+    PSNR 25.76 vs 25.56 for the two-phase preset on the 300-iter
+    fixture drive — faster AND slightly better, because the tightened
+    span concentrates all 32 samples on matter.  The 24+24 two-phase
+    budget (144 ms bootstrap) measured -1.0 dB and is NOT the default."""
     base = dict(
         ngp=NGPConfig(num_levels=8, level_dim=4, table_dtype="bfloat16"),
         use_occupancy=True,
         num_steps=32,
         upsample_steps=32,
+        occ_march_steps=32,
         max_ray_batch=16384,
         input_rays=4096,
         fusion_rays=4096,
