@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--samples", type=int, default=None)
     ap.add_argument("--march", type=int, default=None)
     ap.add_argument("--occ-start", type=int, default=None)
+    ap.add_argument("--polish-start", type=int, default=None,
+                    help="switch back to two-phase sampling from this "
+                         "iteration on (quality polish tail)")
     ap.add_argument("--fetch-every", type=int, default=20)
     ap.add_argument("--save-dir", default="/tmp/distill_drive_out")
     # backwards-compatible positional form: iters start_fusion [samples]
@@ -92,6 +95,8 @@ def main():
     occ_start = args.occ_start
     if occ_start is not None:
         over["occupancy_start"] = occ_start
+    if args.polish_start is not None:
+        over["polish_start"] = args.polish_start
     cfg = tpu_distill_config(
         max_itr=args.iters, start_fusion_step=args.start_fusion,
         n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,
@@ -114,6 +119,9 @@ def main():
     def phase_of(itr):
         f = "fus" if itr > cfg.start_fusion_step else "boot"
         o = "march" if (marching and itr >= occ0) else "two"
+        if marching and cfg.polish_start is not None \
+                and itr >= cfg.polish_start:
+            o = "pol"
         return f"{f}_{o}"
 
     sync = [(-1, t1)] + list(out["sync_times"])
@@ -138,13 +146,17 @@ def main():
     bt = med.get("boot_two")
     bm = med.get("boot_march", bt)
     fm = med.get("fus_march", med.get("fus_two"))
+    fp = med.get("fus_pol")
     if bt is not None and fm is not None:
+        n_pol = max(0, 3000 - cfg.polish_start) \
+            if (fp is not None and cfg.polish_start is not None) else 0
         est = (500 * bt + 500 * (bm if bm is not None else bt)
-               + 2000 * fm) / 60.0
+               + (2000 - n_pol) * fm + n_pol * (fp or 0.0)) / 60.0
+        pol_txt = f" | polish {1e3 * fp:.0f}" if fp is not None else ""
         print(f"[drive] est 3000-iter scene {est:.1f} min "
               f"(boot_two {1e3 * bt:.0f} | boot_march "
-              f"{1e3 * (bm or bt):.0f} | fusion {1e3 * fm:.0f} ms)",
-              flush=True)
+              f"{1e3 * (bm or bt):.0f} | fusion {1e3 * fm:.0f}"
+              f"{pol_txt} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -117,6 +117,13 @@ class DistillConfig:
     # the tightened span concentrates the whole budget on matter.
     # None = keep two-phase sampling throughout (reference semantics).
     occ_march_steps: Optional[int] = None
+    # polish tail: from this iteration on, drop back from single-pass
+    # marching to the two-phase num_steps+upsample_steps sampler (still
+    # inside the occupancy-tightened [near, far] span).  The march-32
+    # preset trades ~0.2 dB for 1.65x wall-clock at full length (PERF.md
+    # round 3); a short two-phase tail buys the quality back at ~214 ms
+    # extra per polish iter.  None = march to the end.
+    polish_start: Optional[int] = None
     # fetch loss scalars from device every N iterations instead of every
     # iteration (the reference's eval cadence, ``distillation.py:355``):
     # a per-iter float() fetch costs a host<->device round trip that
@@ -299,6 +306,9 @@ def distillation_loop(
         vcfg, march_steps=int(cfg.occ_march_steps)) if march_on else vcfg
 
     def active_vcfg(itr: int) -> VolumeRendererConfig:
+        if march_on and cfg.polish_start is not None \
+                and itr >= cfg.polish_start:
+            return vcfg  # two-phase polish tail (occupancy-tightened)
         return vcfg_march if (march_on and itr >= cfg.occupancy_start) \
             else vcfg
 

@@ -52,3 +52,25 @@ def test_march_mode_distillation_runs(tmp_path):
     assert len(out["losses"]) == 30
     assert np.all(np.isfinite(out["losses"]))
     assert len(out["sync_times"]) >= 30 // 7
+
+
+@pytest.mark.slow
+def test_polish_tail_distillation_runs(tmp_path):
+    """polish_start drops back from marching to two-phase sampling for
+    the tail iterations (quality polish): the loop must run through BOTH
+    mode switches (two-phase -> march -> two-phase) with finite losses."""
+    models = tiny_models()
+    scene = make_synthetic_scene(n_views=3, image_size=32, seed=1)
+    cfg = tpu_distill_config(
+        max_itr=30, start_fusion_step=10 ** 9, n_aug_cameras=2,
+        num_steps=8, upsample_steps=8, max_ray_batch=256,
+        occupancy_start=8, occupancy_update_every=8,
+        occ_march_steps=12, polish_start=22,
+        ngp=NGPConfig(num_levels=4, level_dim=4, log2_hashmap_size=10))
+    out = distillation_loop(models, scene, [0, 1], cfg,
+                            jax.random.PRNGKey(0), use_diffusion=False,
+                            verbose=False)
+    assert np.all(np.isfinite(out["renders"]))
+    assert np.isfinite(out["metrics"]["psnr"])
+    assert len(out["losses"]) == 30
+    assert np.all(np.isfinite(out["losses"]))
