@@ -41,6 +41,10 @@ def main():
                     help="switch back to two-phase sampling from this "
                          "iteration on (quality polish tail)")
     ap.add_argument("--fetch-every", type=int, default=20)
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="S>1 drives the scene-BATCHED loop "
+                         "(distill/batched.py): S fixtures in lockstep; "
+                         "the printed per-scene estimate divides by S")
     ap.add_argument("--save-dir", default="/tmp/distill_drive_out")
     # backwards-compatible positional form: iters start_fusion [samples]
     ap.add_argument("pos", nargs="*", type=int)
@@ -68,24 +72,29 @@ def main():
     models = build_models(jax.random.PRNGKey(0))
     print(f"[drive] models built {time.time() - t0:.0f}s", flush=True)
 
-    # cache the fixture on disk: regenerating it costs minutes of
+    # cache the fixtures on disk: regenerating one costs minutes of
     # CPU-backend renders per drive on the 1-core host
     from sparsefusion_tpu.data.contract import SceneData
 
-    cache = "/tmp/sf_drive_scene_4_256_0.npz"
-    if os.path.exists(cache):
-        z = np.load(cache)
-        scene = SceneData(
-            images=z["images"], R=z["R"], T=z["T"], f=z["f"], c=z["c"],
-            valid_region=z["valid_region"], image_size=z["image_size"],
-            masks=z["masks"], sequence_name=str(z["seq"]))
-    else:
-        scene = make_synthetic_scene(n_views=4, image_size=256, seed=0)
-        np.savez(cache, images=scene.images, R=scene.R, T=scene.T,
-                 f=scene.f, c=scene.c, valid_region=scene.valid_region,
-                 image_size=scene.image_size, masks=scene.masks,
-                 seq=scene.sequence_name)
-    print(f"[drive] scene ready {time.time() - t0:.0f}s", flush=True)
+    def load_scene(seed):
+        cache = f"/tmp/sf_drive_scene_4_256_{seed}.npz"
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return SceneData(
+                images=z["images"], R=z["R"], T=z["T"], f=z["f"],
+                c=z["c"], valid_region=z["valid_region"],
+                image_size=z["image_size"], masks=z["masks"],
+                sequence_name=str(z["seq"]))
+        s = make_synthetic_scene(n_views=4, image_size=256, seed=seed)
+        np.savez(cache, images=s.images, R=s.R, T=s.T, f=s.f, c=s.c,
+                 valid_region=s.valid_region, image_size=s.image_size,
+                 masks=s.masks, seq=s.sequence_name)
+        return s
+
+    scenes = [load_scene(seed) for seed in range(args.scenes)]
+    scene = scenes[0]
+    print(f"[drive] {len(scenes)} scene(s) ready {time.time() - t0:.0f}s",
+          flush=True)
 
     over = {}
     if args.samples is not None:
@@ -103,9 +112,20 @@ def main():
         **over)
 
     t1 = time.time()
-    out = distillation_loop(
-        models, scene, [0, 1], cfg, jax.random.PRNGKey(1),
-        save_dir=args.save_dir, use_diffusion=True, verbose=True)
+    if args.scenes > 1:
+        from sparsefusion_tpu.distill.batched import (
+            batched_distillation_loop,
+        )
+
+        outs = batched_distillation_loop(
+            models, scenes, [[0, 1]] * len(scenes), cfg,
+            jax.random.PRNGKey(1), save_dir=args.save_dir,
+            use_diffusion=True, verbose=True)
+        out = outs[0]
+    else:
+        out = distillation_loop(
+            models, scene, [0, 1], cfg, jax.random.PRNGKey(1),
+            save_dir=args.save_dir, use_diffusion=True, verbose=True)
     wall = time.time() - t1
     print(f"[drive] {args.iters} iters ({args.start_fusion} bootstrap) "
           f"+ eval in {wall:.1f}s total", flush=True)
@@ -148,12 +168,21 @@ def main():
     fm = med.get("fus_march", med.get("fus_two"))
     fp = med.get("fus_pol")
     if bt is not None and fm is not None:
-        n_pol = max(0, 3000 - cfg.polish_start) \
-            if (fp is not None and cfg.polish_start is not None) else 0
+        # scale the drive's polish share of fusion iters onto the
+        # reference 2000-fusion-iter schedule (a short drive's
+        # polish_start is drive-relative, not on the 3000-iter scale)
+        n_pol = 0
+        if fp is not None and cfg.polish_start is not None:
+            frac = (cfg.max_itr - cfg.polish_start) \
+                / max(1, cfg.max_itr - cfg.start_fusion_step)
+            n_pol = int(round(2000 * min(max(frac, 0.0), 1.0)))
         est = (500 * bt + 500 * (bm if bm is not None else bt)
                + (2000 - n_pol) * fm + n_pol * (fp or 0.0)) / 60.0
         pol_txt = f" | polish {1e3 * fp:.0f}" if fp is not None else ""
-        print(f"[drive] est 3000-iter scene {est:.1f} min "
+        per_scene = est / max(1, args.scenes)
+        batch_txt = (f" = {per_scene:.1f} min/scene at S={args.scenes}"
+                     if args.scenes > 1 else "")
+        print(f"[drive] est 3000-iter scene {est:.1f} min{batch_txt} "
               f"(boot_two {1e3 * bt:.0f} | boot_march "
               f"{1e3 * (bm or bt):.0f} | fusion {1e3 * fm:.0f}"
               f"{pol_txt} ms)", flush=True)

@@ -3,9 +3,15 @@
 Times each stage of the diffusion-fusion step separately (all with the
 two-point chained method — ``block_until_ready`` is a no-op through the
 relay): the full-image no-grad render, VAE encode/decode, one CFG UNet
-eval (f32 and bf16), the jitted PLMS step0 and masked-scan tail, and the
-subsampled fusion grad step.
+eval (f32 and bf16), and the jitted PLMS step0 and masked-scan tail
+(the subsampled grad steps are covered by ``bench.py``'s
+``input_step_ms`` / ``full_grad_step_ms``).
+
+``--march K`` decomposes the SHIPPED preset instead (single-pass
+occupancy marching with K samples, ``occ_march_steps``); default is the
+two-phase ``num_steps+upsample_steps`` sampler.
 """
+import argparse
 import sys
 import time
 
@@ -15,6 +21,10 @@ from sparsefusion_tpu.utils.runtime import enable_persistent_compilation_cache
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--march", type=int, default=None)
+    args = ap.parse_args()
+
     enable_persistent_compilation_cache()
 
     import jax
@@ -46,6 +56,10 @@ def main():
         num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
         bound=cfg.bound, min_near=cfg.min_near,
         max_ray_batch=cfg.max_ray_batch)
+    if args.march:
+        import dataclasses
+        vcfg = dataclasses.replace(vcfg, march_steps=int(args.march))
+        print(f"[dec] march mode, {args.march} samples", flush=True)
     ngp_model = NGPField(cfg.ngp)
     ngp_params = jax.jit(
         lambda k: ngp_model.init(k, jnp.zeros((8, 3)))["params"])(

@@ -61,6 +61,11 @@ def parse_args(argv=None):
                    help="'tpu' = occupancy-guided 32+32 sampling, 8x4 "
                         "bf16 tables (measured-fastest); 'reference' = "
                         "exact torch-ngp opt; 'auto' = tpu on TPU")
+    p.add_argument("--scene_batch", type=int, default=1,
+                   help="distill up to N scenes per chip in lockstep "
+                        "(vmapped scene axis, distill/batched.py); scenes "
+                        "are bucketed by (frame count, image size) and "
+                        "leftovers fall back to the sequential loop")
     args = p.parse_args(argv)
 
     # reference default parameter block (demo.py:140-158)
@@ -171,19 +176,51 @@ def main(argv=None):
         cfg = DistillConfig(max_itr=args.max_itr,
                             start_fusion_step=args.start_fusion)
 
+    # materialize this process's scenes + per-scene input views
+    entries = []
     for val_idx in val_list:
         scene = dataset[val_idx]
         input_idx = select_input_views(args.val_seed, val_idx, len(scene),
                                        args.context_views)
         print("val_idx", val_idx, input_idx)
-        seq_name = f"{args.category}_{val_idx:03d}_c{len(input_idx)}"
-        scene.sequence_name = seq_name
-        distillation_loop(
-            models, scene, input_idx, cfg,
-            jax.random.PRNGKey(args.val_seed + val_idx),
-            save_dir=args.exp_dir,
-            use_diffusion=not args.no_diffusion,
-            lpips_fn=lpips_fn)
+        scene.sequence_name = \
+            f"{args.category}_{val_idx:03d}_c{len(input_idx)}"
+        entries.append((val_idx, scene, input_idx))
+
+    groups = [[e] for e in entries]
+    if args.scene_batch > 1:
+        # bucket by (n_frames, image_size, n_ctx) — the batched loop's
+        # stacking contract — then chunk to scene_batch
+        buckets = {}
+        for e in entries:
+            key = (len(e[1]), e[1].images.shape[1], len(e[2]))
+            buckets.setdefault(key, []).append(e)
+        groups = []
+        for bucket in buckets.values():
+            for i in range(0, len(bucket), args.scene_batch):
+                groups.append(bucket[i:i + args.scene_batch])
+
+    for group in groups:
+        if len(group) == 1:
+            val_idx, scene, input_idx = group[0]
+            distillation_loop(
+                models, scene, input_idx, cfg,
+                jax.random.PRNGKey(args.val_seed + val_idx),
+                save_dir=args.exp_dir,
+                use_diffusion=not args.no_diffusion,
+                lpips_fn=lpips_fn)
+        else:
+            from sparsefusion_tpu.distill.batched import (
+                batched_distillation_loop,
+            )
+
+            print(f"scene batch: {[g[0] for g in group]}")
+            batched_distillation_loop(
+                models, [g[1] for g in group], [g[2] for g in group],
+                cfg, jax.random.PRNGKey(args.val_seed + group[0][0]),
+                save_dir=args.exp_dir,
+                use_diffusion=not args.no_diffusion,
+                lpips_fn=lpips_fn)
 
 
 if __name__ == "__main__":

@@ -262,6 +262,177 @@ def _render_cam(ngp_model, ngp_params, cam: Cameras, hw: int,
     return img, sil
 
 
+def make_scene_step_fns(ngp_model, cfg: DistillConfig, tx,
+                        render_hw: int, image_size: int, lpips_fn=None):
+    """Build the PER-SCENE pure step functions of the distillation loop.
+
+    Shared by :func:`distillation_loop` (which jits them with a static
+    render config + donated params) and the scene-batched loop
+    (``distill/batched.py``, which vmaps them over a leading scene axis
+    before jitting) — the loss plumbing is defined once.  Every function
+    takes ``(vc, ...)`` explicitly; nothing device-sized is closed over.
+
+    Returns an object with ``input_step`` / ``bootstrap_step`` /
+    ``fusion_grad_step`` (each ``(vc, params, opt_state, ...) ->
+    (params, opt_state, loss)``), ``render_up`` / ``render_up_img``
+    (full-image no-grad render + bilinear upsample), and ``make_nff``
+    (occupancy near/far tightening factory).
+    """
+    import math as _math
+
+    from sparsefusion_tpu.render.occupancy import occupancy_near_far
+
+    # OccupancyGrid geometry (defaults mirrored; the loop constructs
+    # OccupancyGrid(bound=cfg.bound) whose grid_size/cascade are these)
+    occ_grid_size = 128
+    occ_cascade = 1 + int(_math.ceil(_math.log2(max(cfg.bound, 1.0))))
+
+    def make_nff(bitfield):
+        if not cfg.use_occupancy:
+            return None
+        return lambda o, d, n, f: occupancy_near_far(
+            bitfield, o, d, n, f, cfg.bound, occ_grid_size,
+            occ_cascade, cfg.occupancy_probe)[:2]
+
+    def _ray_subset(key):
+        """(ray_idx, render_key): uniform pixel subset (with replacement)
+        of the render_hw grid — unbiased for the pixel-mean losses."""
+        if not cfg.input_rays or cfg.input_rays >= render_hw * render_hw:
+            return None, key
+        k_sel, k_render = jax.random.split(key)
+        ray_idx = jax.random.randint(k_sel, (cfg.input_rays,), 0,
+                                     render_hw * render_hw)
+        return ray_idx, k_render
+
+    def _at_rays(img_hw, ray_idx):
+        if ray_idx is None:
+            return img_hw
+        flat = img_hw.reshape(-1, img_hw.shape[-1])
+        return jnp.take(flat, ray_idx, axis=0)
+
+    def input_losses(vc, params, cam, gt_rgb, gt_mask, key, bitfield):
+        ray_idx, key = _ray_subset(key)
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
+                               perturb=True, near_far_fn=make_nff(bitfield),
+                               ray_idx=ray_idx, remat=cfg.remat)
+        gt_rgb_ds = resize_nearest(gt_rgb[None], (render_hw, render_hw))[0]
+        color_err = jnp.mean(jnp.abs(huber(img, _at_rays(gt_rgb_ds,
+                                                         ray_idx))))
+        loss = cfg.lambda_color * color_err
+        if gt_mask is not None:
+            gt_mask_ds = resize_nearest(gt_mask[None],
+                                        (render_hw, render_hw))[0]
+            loss += cfg.lambda_sil * jnp.mean(
+                jnp.abs(huber(sil, _at_rays(gt_mask_ds, ray_idx))))
+        if cfg.lambda_opacity > 0:
+            loss += cfg.lambda_opacity * jnp.mean(
+                jnp.sqrt(sil ** 2 + 0.01))
+        return loss
+
+    def input_step(vc, params, opt_state, cam, gt_rgb, gt_mask, key,
+                   bitfield):
+        loss, grads = jax.value_and_grad(input_losses, argnums=1)(
+            vc, params, cam, gt_rgb, gt_mask, key, bitfield)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def render_up(vc, params, cam, key, bitfield):
+        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
+                               perturb=True, near_far_fn=make_nff(bitfield),
+                               remat=cfg.remat)
+        img = resize_bilinear(img[None], (image_size, image_size))[0]
+        sil = resize_bilinear(sil[None], (image_size, image_size))[0]
+        return img, sil
+
+    def render_up_img(vc, params, cam, k_r, bitfield):
+        img, _ = render_up(vc, params, cam, k_r, bitfield)
+        return img
+
+    def bootstrap_losses(vc, params, cam, eft_img, key, bitfield):
+        if cfg.input_rays:
+            # subsampled variant: compare at render_hw scale against the
+            # box-downsampled EFT target (the full-grid reference path
+            # compares the bilinear-upsampled render at image_size)
+            ray_idx, key = _ray_subset(key)
+            img, sil = _render_cam(
+                ngp_model, params, cam, render_hw, vc, key, perturb=True,
+                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
+                remat=cfg.remat)
+            eft_ds = resize_bilinear(eft_img[None],
+                                     (render_hw, render_hw))[0]
+            target = _at_rays(eft_ds, ray_idx)
+        else:
+            img, sil = render_up(vc, params, cam, key, bitfield)
+            target = eft_img
+        noisy_mask = jnp.mean(target, axis=-1, keepdims=True)
+        noisy_mask = (noisy_mask > 0.1).astype(jnp.float32)
+        loss = cfg.lambda_color * jnp.mean(jnp.abs(huber(img, target)))
+        loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, noisy_mask)))
+        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
+        return loss
+
+    def bootstrap_step(vc, params, opt_state, cam, eft_img, key, bitfield):
+        loss, grads = jax.value_and_grad(bootstrap_losses, argnums=1)(
+            vc, params, cam, eft_img, key, bitfield)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    use_percep = lpips_fn is not None and cfg.lambda_percep > 0
+    subsample_fusion = bool(cfg.fusion_rays) and not use_percep \
+        and cfg.fusion_rays < render_hw * render_hw
+
+    def fusion_losses(vc, params, cam, pred_img, fusion_weight, k_r,
+                      bitfield):
+        if subsample_fusion:
+            k_sel, k_r = jax.random.split(k_r)
+            ray_idx = jax.random.randint(k_sel, (cfg.fusion_rays,), 0,
+                                         render_hw * render_hw)
+            img, sil = _render_cam(
+                ngp_model, params, cam, render_hw, vc, k_r, perturb=True,
+                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
+                remat=cfg.remat)
+            pred_ds = resize_bilinear(pred_img[None],
+                                      (render_hw, render_hw))[0]
+            loss = fusion_weight * jnp.mean(
+                jnp.abs(img - _at_rays(pred_ds, ray_idx)))
+            loss += cfg.lambda_opacity * jnp.mean(
+                jnp.sqrt(sil ** 2 + 0.01))
+            return loss
+        img, sil = render_up(vc, params, cam, k_r, bitfield)
+        loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
+        if use_percep:
+            # perceptual term active after start_fusion_step
+            # (distillation.py:176-178, 312-314); grads flow through img
+            loss += cfg.lambda_percep * jnp.mean(
+                lpips_fn(img[None], pred_img[None]))
+        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
+        return loss
+
+    def fusion_grad_step(vc, params, opt_state, cam, pred_img,
+                         fusion_weight, k_r, bitfield):
+        loss, grads = jax.value_and_grad(fusion_losses, argnums=1)(
+            vc, params, cam, pred_img, fusion_weight, k_r, bitfield)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    class _Steps:
+        pass
+
+    s = _Steps()
+    s.make_nff = make_nff
+    s.input_losses = input_losses
+    s.input_step = input_step
+    s.render_up = render_up
+    s.render_up_img = render_up_img
+    s.bootstrap_losses = bootstrap_losses
+    s.bootstrap_step = bootstrap_step
+    s.fusion_losses = fusion_losses
+    s.fusion_grad_step = fusion_grad_step
+    s.subsample_fusion = subsample_fusion
+    s.use_percep = use_percep
+    return s
+
+
 def distillation_loop(
     models: SparseFusionModels,
     scene: SceneData,
@@ -397,102 +568,18 @@ def distillation_loop(
     occ_grid = None
     bitfield = jnp.zeros((8,), jnp.uint8)  # placeholder when unused
     if cfg.use_occupancy:
-        from sparsefusion_tpu.render.occupancy import (
-            OccupancyGrid,
-            occupancy_near_far,
-        )
+        from sparsefusion_tpu.render.occupancy import OccupancyGrid
 
         occ_grid = OccupancyGrid(bound=cfg.bound,
                                  density_thresh=cfg.density_thresh)
         bitfield = occ_grid.full_bitfield()
 
-    def make_nff(bitfield):
-        if not cfg.use_occupancy:
-            return None
-        return lambda o, d, n, f: occupancy_near_far(
-            bitfield, o, d, n, f, cfg.bound, occ_grid.grid_size,
-            occ_grid.cascade, cfg.occupancy_probe)[:2]
-
-    def _ray_subset(key):
-        """(ray_idx, render_key): uniform pixel subset (with replacement)
-        of the render_hw grid — unbiased for the pixel-mean losses."""
-        if not cfg.input_rays or cfg.input_rays >= render_hw * render_hw:
-            return None, key
-        k_sel, k_render = jax.random.split(key)
-        ray_idx = jax.random.randint(k_sel, (cfg.input_rays,), 0,
-                                     render_hw * render_hw)
-        return ray_idx, k_render
-
-    def _at_rays(img_hw, ray_idx):
-        if ray_idx is None:
-            return img_hw
-        flat = img_hw.reshape(-1, img_hw.shape[-1])
-        return jnp.take(flat, ray_idx, axis=0)
-
-    def input_losses(vc, params, cam, gt_rgb, gt_mask, key, bitfield):
-        ray_idx, key = _ray_subset(key)
-        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
-                               perturb=True, near_far_fn=make_nff(bitfield),
-                               ray_idx=ray_idx, remat=cfg.remat)
-        gt_rgb_ds = resize_nearest(gt_rgb[None], (render_hw, render_hw))[0]
-        color_err = jnp.mean(jnp.abs(huber(img, _at_rays(gt_rgb_ds,
-                                                         ray_idx))))
-        loss = cfg.lambda_color * color_err
-        if gt_mask is not None:
-            gt_mask_ds = resize_nearest(gt_mask[None],
-                                        (render_hw, render_hw))[0]
-            loss += cfg.lambda_sil * jnp.mean(
-                jnp.abs(huber(sil, _at_rays(gt_mask_ds, ray_idx))))
-        if cfg.lambda_opacity > 0:
-            loss += cfg.lambda_opacity * jnp.mean(
-                jnp.sqrt(sil ** 2 + 0.01))
-        return loss
-
-    @_jit_step
-    def input_step(vc, params, opt_state, cam, gt_rgb, gt_mask, key,
-                   bitfield):
-        loss, grads = jax.value_and_grad(input_losses, argnums=1)(
-            vc, params, cam, gt_rgb, gt_mask, key, bitfield)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    def _render_up(vc, params, cam, key, bitfield):
-        img, sil = _render_cam(ngp_model, params, cam, render_hw, vc, key,
-                               perturb=True, near_far_fn=make_nff(bitfield),
-                               remat=cfg.remat)
-        img = resize_bilinear(img[None], (image_size, image_size))[0]
-        sil = resize_bilinear(sil[None], (image_size, image_size))[0]
-        return img, sil
-
-    def bootstrap_losses(vc, params, cam, eft_img, key, bitfield):
-        if cfg.input_rays:
-            # subsampled variant: compare at render_hw scale against the
-            # box-downsampled EFT target (the full-grid reference path
-            # compares the bilinear-upsampled render at image_size)
-            ray_idx, key = _ray_subset(key)
-            img, sil = _render_cam(
-                ngp_model, params, cam, render_hw, vc, key, perturb=True,
-                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
-                remat=cfg.remat)
-            eft_ds = resize_bilinear(eft_img[None],
-                                     (render_hw, render_hw))[0]
-            target = _at_rays(eft_ds, ray_idx)
-        else:
-            img, sil = _render_up(vc, params, cam, key, bitfield)
-            target = eft_img
-        noisy_mask = jnp.mean(target, axis=-1, keepdims=True)
-        noisy_mask = (noisy_mask > 0.1).astype(jnp.float32)
-        loss = cfg.lambda_color * jnp.mean(jnp.abs(huber(img, target)))
-        loss += cfg.lambda_sil * jnp.mean(jnp.abs(huber(sil, noisy_mask)))
-        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
-        return loss
-
-    @_jit_step
-    def bootstrap_step(vc, params, opt_state, cam, eft_img, key, bitfield):
-        loss, grads = jax.value_and_grad(bootstrap_losses, argnums=1)(
-            vc, params, cam, eft_img, key, bitfield)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # per-scene pure step bodies, shared with the scene-batched loop
+    steps = make_scene_step_fns(ngp_model, cfg, tx, render_hw,
+                                image_size, lpips_fn=lpips_fn)
+    make_nff = steps.make_nff
+    input_step = _jit_step(steps.input_step)
+    bootstrap_step = _jit_step(steps.bootstrap_step)
 
     # models may be None when use_diffusion=False (the NGP-only demo path
     # needs no EFT/VAE/UNet at all).  The host path passes UNet/VAE
@@ -509,10 +596,8 @@ def distillation_loop(
     # The reference runs the sampler under no_grad anyway
     # (distillation.py:298-309); rendering twice with the same key
     # reproduces the identical image in both programs.
-    @partial(jax.jit, static_argnums=(0,))
-    def fusion_render_fwd(vc, params, cam, k_r, bitfield):
-        img, _ = _render_up(vc, params, cam, k_r, bitfield)
-        return img
+    fusion_render_fwd = partial(jax.jit, static_argnums=(0,))(
+        steps.render_up_img)
 
     use_host_plms = cfg.plms_host_loop
     if use_host_plms is None:
@@ -554,44 +639,7 @@ def distillation_loop(
         img = fusion_render_fwd(vc, params, cam, k_r, bitfield)
         return fusion_sample(img, features, k_t, k_s, max_thres)
 
-    use_percep = lpips_fn is not None and cfg.lambda_percep > 0
-    subsample_fusion = bool(cfg.fusion_rays) and not use_percep \
-        and cfg.fusion_rays < render_hw * render_hw
-
-    def fusion_losses(vc, params, cam, pred_img, fusion_weight, k_r,
-                      bitfield):
-        if subsample_fusion:
-            k_sel, k_r = jax.random.split(k_r)
-            ray_idx = jax.random.randint(k_sel, (cfg.fusion_rays,), 0,
-                                         render_hw * render_hw)
-            img, sil = _render_cam(
-                ngp_model, params, cam, render_hw, vc, k_r, perturb=True,
-                near_far_fn=make_nff(bitfield), ray_idx=ray_idx,
-                remat=cfg.remat)
-            pred_ds = resize_bilinear(pred_img[None],
-                                      (render_hw, render_hw))[0]
-            loss = fusion_weight * jnp.mean(
-                jnp.abs(img - _at_rays(pred_ds, ray_idx)))
-            loss += cfg.lambda_opacity * jnp.mean(
-                jnp.sqrt(sil ** 2 + 0.01))
-            return loss
-        img, sil = _render_up(vc, params, cam, k_r, bitfield)
-        loss = fusion_weight * jnp.mean(jnp.abs(img - pred_img))
-        if use_percep:
-            # perceptual term active after start_fusion_step
-            # (distillation.py:176-178, 312-314); grads flow through img
-            loss += cfg.lambda_percep * jnp.mean(
-                lpips_fn(img[None], pred_img[None]))
-        loss += cfg.lambda_opacity * jnp.mean(jnp.sqrt(sil ** 2 + 0.01))
-        return loss
-
-    @_jit_step
-    def fusion_grad_step(vc, params, opt_state, cam, pred_img,
-                         fusion_weight, k_r, bitfield):
-        loss, grads = jax.value_and_grad(fusion_losses, argnums=1)(
-            vc, params, cam, pred_img, fusion_weight, k_r, bitfield)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    fusion_grad_step = _jit_step(steps.fusion_grad_step)
 
     def fusion_step(vc, params, opt_state, cam, features, key, bitfield,
                     max_thres=None):

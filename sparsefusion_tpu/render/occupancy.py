@@ -100,26 +100,11 @@ class OccupancyGrid:
     def update(self, density_fn: Callable, rng: jax.Array,
                decay: float = 0.95):
         """One maintenance step (``renderer_df.py:587-633``)."""
-        gs = self.grid_size
-        coords = morton3D_invert(
-            jnp.arange(gs ** 3, dtype=jnp.int32))  # morton-ordered cells
-        xyz01 = 2.0 * coords.astype(jnp.float32) / (gs - 1) - 1.0
-
-        new_levels = []
-        for cas in range(self.cascade):
-            bound = min(2 ** cas, self.bound)
-            half_cell = bound / gs
-            pts = xyz01 * (bound - half_cell)
-            rng, k = jax.random.split(rng)
-            pts = pts + (jax.random.uniform(k, pts.shape) * 2 - 1) * half_cell
-            new_levels.append(density_fn(pts))
-        tmp = jnp.stack(new_levels)          # (C, H^3) morton order
-
-        self.density_grid = jnp.maximum(self.density_grid * decay, tmp)
-        self.mean_density = float(jnp.mean(self.density_grid))
+        self.density_grid, self.bitfield, mean = density_grid_update(
+            self.density_grid, density_fn, rng, self.bound,
+            self.grid_size, self.cascade, self.density_thresh, decay)
+        self.mean_density = float(mean)
         self.iter_density += 1
-        thresh = min(self.mean_density, self.density_thresh)
-        self.bitfield = packbits(self.density_grid, thresh)
         return self
 
     # ---------------------------------------------------------------- query
@@ -137,6 +122,41 @@ class OccupancyGrid:
     def full_bitfield(self) -> jnp.ndarray:
         """All-occupied bitfield (warmup no-op for occupancy-guided paths)."""
         return jnp.full_like(self.bitfield, 255)
+
+
+def density_grid_update(density_grid: jnp.ndarray, density_fn: Callable,
+                        rng: jax.Array, bound: float, grid_size: int,
+                        cascade: int, density_thresh: float,
+                        decay: float = 0.95):
+    """One density-grid maintenance step as a PURE function.
+
+    Same numerics as :meth:`OccupancyGrid.update` (EMA-decay max with
+    fresh jittered samples, then packbits at ``min(mean, thresh)``,
+    ``renderer_df.py:587-633``) but jit- and vmap-friendly: the
+    threshold stays on device, so scene-batched distillation can
+    maintain S grids in one program with no host sync per scene.
+
+    Returns ``(new_density_grid, bitfield, mean_density)``.
+    """
+    gs = grid_size
+    coords = morton3D_invert(
+        jnp.arange(gs ** 3, dtype=jnp.int32))    # morton-ordered cells
+    xyz01 = 2.0 * coords.astype(jnp.float32) / (gs - 1) - 1.0
+
+    new_levels = []
+    for cas in range(cascade):
+        cas_bound = min(2 ** cas, bound)
+        half_cell = cas_bound / gs
+        pts = xyz01 * (cas_bound - half_cell)
+        rng, k = jax.random.split(rng)
+        pts = pts + (jax.random.uniform(k, pts.shape) * 2 - 1) * half_cell
+        new_levels.append(density_fn(pts))
+    tmp = jnp.stack(new_levels)                  # (C, H^3) morton order
+
+    new_grid = jnp.maximum(density_grid * decay, tmp)
+    mean = jnp.mean(new_grid)
+    thresh = jnp.minimum(mean, density_thresh)
+    return new_grid, packbits(new_grid, thresh), mean
 
 
 def occupancy_lookup(bitfield: jnp.ndarray, x: jnp.ndarray, bound: float,
