@@ -45,6 +45,10 @@ def main():
                     help="S>1 drives the scene-BATCHED loop "
                          "(distill/batched.py): S fixtures in lockstep; "
                          "the printed per-scene estimate divides by S")
+    ap.add_argument("--remat", action="store_true",
+                    help="re-render chunks in backward instead of "
+                         "storing residuals (the preset stores; S>=4 "
+                         "batched needs remat to fit v5e HBM)")
     ap.add_argument("--save-dir", default="/tmp/distill_drive_out")
     # backwards-compatible positional form: iters start_fusion [samples]
     ap.add_argument("pos", nargs="*", type=int)
@@ -106,6 +110,8 @@ def main():
         over["occupancy_start"] = occ_start
     if args.polish_start is not None:
         over["polish_start"] = args.polish_start
+    if args.remat:
+        over["remat"] = True
     cfg = tpu_distill_config(
         max_itr=args.iters, start_fusion_step=args.start_fusion,
         n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,
