@@ -77,6 +77,60 @@ def test_vmapped_input_step_matches_per_scene():
             (out[0], out[2]), (ref[s][0], ref[s][2]))
 
 
+def test_vmapped_fusion_and_bootstrap_steps_match_per_scene():
+    """The other two optimizer steps also vectorize exactly."""
+    cfg = DistillConfig(num_steps=8, upsample_steps=8, max_ray_batch=256,
+                        ngp=NGPConfig(num_levels=4, log2_hashmap_size=10))
+    render_hw, image_size = 16, 32
+    ngp_model = NGPField(cfg.ngp)
+    tx = make_ngp_optimizer(cfg)
+    steps = make_scene_step_fns(ngp_model, cfg, tx, render_hw, image_size)
+    vcfg = VolumeRendererConfig(num_steps=8, upsample_steps=8,
+                                bound=cfg.bound, min_near=cfg.min_near,
+                                max_ray_batch=256)
+
+    scenes = [make_synthetic_scene(n_views=2, image_size=32, seed=s)
+              for s in (1, 6)]
+    params_l, opt_l, cam_l, tgt_l, key_l, bf_l = [], [], [], [], [], []
+    for s, scene in enumerate(scenes):
+        p = ngp_model.init(jax.random.PRNGKey(s), jnp.zeros((8, 3)))["params"]
+        params_l.append(p)
+        opt_l.append(tx.init(p))
+        vox = get_relative_cameras(scene.cameras(), [0],
+                                   center_at_origin=False)
+        cam_l.append(get_camera_slice(vox, [1]))
+        tgt_l.append(jnp.asarray(scene.images[1]))
+        key_l.append(jax.random.PRNGKey(200 + s))
+        bf_l.append(jnp.zeros((8,), jnp.uint8))
+
+    # bootstrap (EFT-image target)
+    ref = [steps.bootstrap_step(vcfg, params_l[s], opt_l[s], cam_l[s],
+                                tgt_l[s], key_l[s], bf_l[s])
+           for s in range(2)]
+    out = jax.vmap(partial(steps.bootstrap_step, vcfg))(
+        _stack(params_l), _stack(opt_l), _stack(cam_l), jnp.stack(tgt_l),
+        jnp.stack(key_l), jnp.stack(bf_l))
+    for s in range(2):
+        jax.tree_util.tree_map(
+            lambda a, b, s=s: np.testing.assert_allclose(
+                np.asarray(a)[s], np.asarray(b), rtol=2e-5, atol=2e-6),
+            (out[0], out[2]), (ref[s][0], ref[s][2]))
+
+    # fusion grad step (PLMS-prediction target + per-scene weight)
+    w = jnp.asarray([0.7, 0.3])
+    ref = [steps.fusion_grad_step(vcfg, params_l[s], opt_l[s], cam_l[s],
+                                  tgt_l[s], w[s], key_l[s], bf_l[s])
+           for s in range(2)]
+    out = jax.vmap(partial(steps.fusion_grad_step, vcfg))(
+        _stack(params_l), _stack(opt_l), _stack(cam_l), jnp.stack(tgt_l),
+        w, jnp.stack(key_l), jnp.stack(bf_l))
+    for s in range(2):
+        jax.tree_util.tree_map(
+            lambda a, b, s=s: np.testing.assert_allclose(
+                np.asarray(a)[s], np.asarray(b), rtol=2e-5, atol=2e-6),
+            (out[0], out[2]), (ref[s][0], ref[s][2]))
+
+
 @pytest.mark.slow
 def test_batched_photometric_learns():
     """S=2 lockstep photometric optimization fits both scenes."""

@@ -92,6 +92,14 @@ def test_two_process_distributed_smoke(tmp_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        # The axon sitecustomize (PYTHONPATH'd into every python process)
+        # registers the TPU-relay PJRT plugin whenever PALLAS_AXON_POOL_IPS
+        # is set — and plugin init can block indefinitely on a dead relay
+        # even under JAX_PLATFORMS=cpu.  Strip the trigger so the CPU-only
+        # workers are hermetic.
+        for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                  "AXON_LOOPBACK_RELAY"):
+            env.pop(k, None)
         env.update({
             "SF_COORDINATOR": f"127.0.0.1:{port}",
             "SF_NUM_PROCESSES": "2",
@@ -106,9 +114,17 @@ def test_two_process_distributed_smoke(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
 
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
-        outs.append((p.returncode, out, err))
+    try:
+        # generous: two cold jax imports + distributed rendezvous +
+        # compiles share ONE host core (and possibly a busy one)
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
