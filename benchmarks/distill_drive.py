@@ -41,6 +41,14 @@ def main():
                     help="switch back to two-phase sampling from this "
                          "iteration on (quality polish tail)")
     ap.add_argument("--fetch-every", type=int, default=20)
+    ap.add_argument("--levels", type=int, default=None,
+                    help="NGP table levels (preset: 8)")
+    ap.add_argument("--level-dim", type=int, default=None,
+                    help="NGP features per level (preset: 4); gather "
+                         "rows scale with levels, row width with dim")
+    ap.add_argument("--sampler-bf16", action="store_true",
+                    help="run the PLMS sampler in bf16 with pre-cast "
+                         "bf16 UNet params (halved weight traffic)")
     ap.add_argument("--scenes", type=int, default=1,
                     help="S>1 drives the scene-BATCHED loop "
                          "(distill/batched.py): S fixtures in lockstep; "
@@ -112,6 +120,13 @@ def main():
         over["polish_start"] = args.polish_start
     if args.remat:
         over["remat"] = True
+    if args.sampler_bf16:
+        over["sampler_bf16"] = True
+    if args.levels is not None or args.level_dim is not None:
+        from sparsefusion_tpu.nn.ngp import NGPConfig
+        over["ngp"] = NGPConfig(
+            num_levels=args.levels or 8, level_dim=args.level_dim or 4,
+            table_dtype="bfloat16")
     cfg = tpu_distill_config(
         max_itr=args.iters, start_fusion_step=args.start_fusion,
         n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,

@@ -23,6 +23,10 @@ from sparsefusion_tpu.utils.runtime import enable_persistent_compilation_cache
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--march", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="time the PLMS step0/tail with bf16 activations "
+                         "AND pre-cast bf16 params (halved weight "
+                         "traffic; models.unet_params_half)")
     args = ap.parse_args()
 
     enable_persistent_compilation_cache()
@@ -104,17 +108,22 @@ def main():
 
     # ---- UNet CFG eval: f32 vs bf16 --------------------------------------
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 256))
-    for tag, bf16 in (("f32", False), ("bf16", True)):
+    for tag, bf16, precast in (("f32", False, False),
+                               ("bf16", True, False),
+                               ("bf16_precast", True, True)):
         apply = models.unet_apply_fn(bf16=bf16)
         eps = _eval_eps_jit(models.ddpm, apply, cfg.cond_scale, 1,
                             with_params=True)
+        up = models.unet_params_half() if precast else models.unet_params
         dt_e = timeit(
-            lambda z: eps(models.unet_params, z, 0.5, cond) * 0.99,
+            lambda z: eps(up, z, 0.5, cond) * 0.99,
             z0, n1=4, n2=16)
         print(f"[dec] cfg_eval_{tag} {1e3 * dt_e:.1f} ms", flush=True)
 
-    # ---- PLMS step0 + tail (25 masked steps), bf16 ------------------------
-    apply = models.unet_apply_fn(bf16=cfg.sampler_bf16)
+    # ---- PLMS step0 + tail (25 masked steps) ------------------------------
+    sampler_bf16 = bool(args.bf16) or cfg.sampler_bf16
+    sampler_params = models.sampler_unet_params(sampler_bf16)
+    apply = models.unet_apply_fn(bf16=sampler_bf16)
     step0 = _step0_jit(models.ddpm, apply, cfg.cond_scale, 1,
                        with_params=True)
     tail = _scan_tail_jit(models.ddpm, apply, cfg.cond_scale, 1,
@@ -124,18 +133,18 @@ def main():
                            for i in range(50)], jnp.float32)
 
     def chain_step0(z):
-        img, hist, key = step0(models.unet_params, jax.random.PRNGKey(3),
+        img, hist, key = step0(sampler_params, jax.random.PRNGKey(3),
                                z, 0.5, 0.48, cond)
         return img
 
     dt_s0 = timeit(chain_step0, z0, n1=3, n2=9)
     print(f"[dec] plms_step0 {1e3 * dt_s0:.0f} ms", flush=True)
 
-    img1, hist, key = step0(models.unet_params, jax.random.PRNGKey(3),
+    img1, hist, key = step0(sampler_params, jax.random.PRNGKey(3),
                             z0, 0.5, 0.48, cond)
 
     def chain_tail(z):
-        return tail(models.unet_params, key, z, hist, jnp.int32(1),
+        return tail(sampler_params, key, z, hist, jnp.int32(1),
                     jnp.int32(25), t_pairs, cond)
 
     dt_tl = timeit(chain_tail, img1, n1=2, n2=6)

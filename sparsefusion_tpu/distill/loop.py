@@ -620,7 +620,7 @@ def distillation_loop(
                 models.ddpm, unet_apply, k_s, latents, max_thres,
                 cond_images=features[None], cond_scale=cfg.cond_scale,
                 plms_steps=cfg.plms_steps, scan_tail=cfg.plms_scan_tail,
-                unet_params=models.unet_params)
+                unet_params=models.sampler_unet_params(cfg.sampler_bf16))
             return vae_dec(models.vae_vars, pred_x0), 1.0 - alpha_cumprod[0]
     else:
         @jax.jit

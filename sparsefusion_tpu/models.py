@@ -82,6 +82,34 @@ class SparseFusionModels:
             setattr(self, attr, fn)
         return fn
 
+    def unet_params_half(self):
+        """bf16 copy of the UNet params, cast ON DEVICE once and cached.
+
+        At batch-1 latent sizes the sampler's UNet eval is WEIGHT-
+        bandwidth bound, and flax's ``dtype=bfloat16`` modules cast the
+        f32 params at every eval — so each of the ~25 PLMS steps re-reads
+        the full f32 weights from HBM (which is why ``sampler_bf16``
+        originally measured *slower* than f32, PERF.md round 2).
+        Pre-casting halves the per-eval weight traffic; pass the result
+        as the sampler's ``unet_params``.  No-grad path only — training
+        keeps the f32 master copy.
+        """
+        half = getattr(self, "_unet_params_half", None)
+        # keyed on the params object: checkpoint loading reassigns
+        # ``models.unet_params`` after construction
+        if half is None or getattr(self, "_unet_params_half_src",
+                                   None) is not self.unet_params:
+            half = jax.jit(
+                lambda p: jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), p))(self.unet_params)
+            self._unet_params_half = half
+            self._unet_params_half_src = self.unet_params
+        return half
+
+    def sampler_unet_params(self, bf16: bool):
+        """The params to feed ``unet_apply_fn(bf16=...)`` with."""
+        return self.unet_params_half() if bf16 else self.unet_params
+
     # ----------------------------------------------------------------- vae
     def vae_encode_p(self, vae_vars, images_01: jnp.ndarray) -> jnp.ndarray:
         """Param-explicit: [0,1] RGB (B,H,W,3) -> scaled latents."""

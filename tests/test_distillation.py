@@ -99,3 +99,41 @@ def test_distillation_subsampled_fusion(tmp_path):
     assert np.isfinite(out["losses"]).all()
     assert np.isfinite(out["fusion_losses"]).all()
     assert len(out["fusion_losses"]) == 4
+
+
+def test_sampler_unet_params_precast_bf16():
+    """The sampler's pre-cast bf16 params are cached, bf16-typed, and the
+    bf16 apply fed with them matches the f32 UNet within bf16 tolerance.
+
+    The pre-cast exists because flax ``dtype=bfloat16`` modules cast the
+    f32 params at EVERY eval — the batch-1 sampler eval is weight-
+    bandwidth bound, so re-reading f32 weights per PLMS step wipes out
+    the bf16 gain (PERF.md round 3)."""
+    models = tiny_models()
+    # fresh init has a zero-init final conv (all-zero output) -- perturb
+    # every param so the f32/bf16 comparison actually exercises the net
+    leaves, treedef = jax.tree_util.tree_flatten(models.unet_params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    models.unet_params = jax.tree_util.tree_unflatten(
+        treedef, [a + 0.05 * jax.random.normal(k, a.shape, a.dtype)
+                  for a, k in zip(leaves, keys)])
+
+    half = models.unet_params_half()
+    assert models.unet_params_half() is half  # cached
+    assert models.sampler_unet_params(False) is models.unet_params
+    assert models.sampler_unet_params(True) is half
+    leaves = jax.tree_util.tree_leaves(half)
+    assert all(a.dtype == jnp.bfloat16 for a in leaves)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    f32 = models.unet_apply_fn(bf16=False)(
+        models.unet_params, x, jnp.zeros((1,)), cond, None)
+    b16 = models.unet_apply_fn(bf16=True)(half, x, jnp.zeros((1,)), cond,
+                                          None)
+    assert b16.dtype == jnp.float32  # upcast output
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                               atol=0.15, rtol=0.1)
+    # and the two are far from garbage: correlation near 1
+    a, b = np.asarray(f32).ravel(), np.asarray(b16).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
