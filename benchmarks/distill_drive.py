@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--level-dim", type=int, default=None,
                     help="NGP features per level (preset: 4); gather "
                          "rows scale with levels, row width with dim")
+    ap.add_argument("--ref-objective", action="store_true",
+                    help="disable the preset's 4096-ray subsampling: "
+                         "full-image input/bootstrap/fusion steps with "
+                         "the bilinear-upsampled image-size comparison "
+                         "(the reference objective, distillation.py:"
+                         "294-329) — the quality anchor for the preset "
+                         "A/B")
     ap.add_argument("--sampler-bf16", action="store_true",
                     help="run the PLMS sampler in bf16 with pre-cast "
                          "bf16 UNet params (halved weight traffic)")
@@ -122,6 +129,9 @@ def main():
         over["remat"] = True
     if args.sampler_bf16:
         over["sampler_bf16"] = True
+    if args.ref_objective:
+        over["input_rays"] = None
+        over["fusion_rays"] = None
     if args.levels is not None or args.level_dim is not None:
         from sparsefusion_tpu.nn.ngp import NGPConfig
         over["ngp"] = NGPConfig(
