@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--sampler-bf16", action="store_true",
                     help="run the PLMS sampler in bf16 with pre-cast "
                          "bf16 UNet params (halved weight traffic)")
+    ap.add_argument("--pallas-gather", action="store_true",
+                    help="serve the NGP row gathers from VMEM "
+                         "(kernels/grid_gather.py)")
     ap.add_argument("--scenes", type=int, default=1,
                     help="S>1 drives the scene-BATCHED loop "
                          "(distill/batched.py): S fixtures in lockstep; "
@@ -132,11 +135,12 @@ def main():
     if args.ref_objective:
         over["input_rays"] = None
         over["fusion_rays"] = None
-    if args.levels is not None or args.level_dim is not None:
+    if args.levels is not None or args.level_dim is not None \
+            or args.pallas_gather:
         from sparsefusion_tpu.nn.ngp import NGPConfig
         over["ngp"] = NGPConfig(
             num_levels=args.levels or 8, level_dim=args.level_dim or 4,
-            table_dtype="bfloat16")
+            table_dtype="bfloat16", pallas_gather=args.pallas_gather)
     cfg = tpu_distill_config(
         max_itr=args.iters, start_fusion_step=args.start_fusion,
         n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,

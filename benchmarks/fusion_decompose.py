@@ -27,6 +27,9 @@ def main():
                     help="time the PLMS step0/tail with bf16 activations "
                          "AND pre-cast bf16 params (halved weight "
                          "traffic; models.unet_params_half)")
+    ap.add_argument("--pallas-gather", action="store_true",
+                    help="serve the NGP row gathers from VMEM "
+                         "(kernels/grid_gather.py) in the render")
     args = ap.parse_args()
 
     enable_persistent_compilation_cache()
@@ -56,6 +59,12 @@ def main():
     print(f"[dec] models built {time.time() - t0:.0f}s", flush=True)
 
     cfg = tpu_distill_config()
+    if args.pallas_gather:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, ngp=dataclasses.replace(cfg.ngp, pallas_gather=True))
+        print("[dec] pallas VMEM gather ON", flush=True)
     vcfg = VolumeRendererConfig(
         num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
         bound=cfg.bound, min_near=cfg.min_near,

@@ -101,6 +101,10 @@ class NGPConfig:
     # optional reduced-precision expanded tables (halves gather traffic;
     # the master param stays fp32 for the optimizer). None = fp32.
     table_dtype: Optional[str] = None
+    # serve the per-level row gathers from VMEM via the Pallas kernel
+    # (kernels/grid_gather.py) instead of XLA's HBM gather; requires TPU,
+    # default off until measured (adjoint scatter stays XLA either way)
+    pallas_gather: bool = False
 
     def encoding(self) -> GridEncoding:
         return make_grid_encoding(
@@ -164,7 +168,8 @@ class NGPField(nn.Module):
         cfg = self.config
         if self._blocked is not None:
             h = blocked_grid_encode_bound(x, self.grid, self._blocked,
-                                          bound=cfg.bound, tables=tables)
+                                          bound=cfg.bound, tables=tables,
+                                          pallas_gather=cfg.pallas_gather)
         else:
             h = grid_encode_bound(x, self.grid, self._enc, bound=cfg.bound)
         h = h.astype(self.dtype)

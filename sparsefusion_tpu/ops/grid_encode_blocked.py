@@ -162,7 +162,9 @@ def _axis_weights(local: jnp.ndarray, frac: jnp.ndarray,
 
 
 def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
-                        blk: BlockedGridEncoding) -> jnp.ndarray:
+                        blk: BlockedGridEncoding,
+                        pallas_gather: bool = False,
+                        pallas_bin_rows: int = 8192) -> jnp.ndarray:
     """Encode points with the pre-expanded blocked table.
 
     Args:
@@ -199,7 +201,6 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
         if lv.stride_z != 0:
             krow = krow + b[:, 2].astype(jnp.uint32) * jnp.uint32(lv.stride_z)
         krow = (krow % jnp.uint32(lv.n_rows)).astype(jnp.int32)
-        krow = krow + lv.row_offset
 
         # dropped-axis weights sum to 1, so omitting them is exact
         wx = _axis_weights(local[:, 0], frac[:, 0], nb)
@@ -217,7 +218,19 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
 
         # per-level gather keeps peak temporaries at (N, W); a consolidated
         # (L*N, W) single gather OOM'd (16 GB padded temps) at render sizes
-        rows = jnp.take(table, krow, axis=0)             # (N, W)
+        if pallas_gather:
+            # VMEM-resident gather (kernels/grid_gather.py): the level's
+            # table bins fit VMEM at preset sizes; adjoint stays XLA.
+            # Interpret mode off-TPU keeps the path CPU-testable.
+            from sparsefusion_tpu.kernels.grid_gather import vmem_row_gather
+
+            tbl_l = jax.lax.dynamic_slice_in_dim(
+                table, lv.row_offset, lv.n_rows, axis=0)
+            rows = vmem_row_gather(
+                tbl_l, krow, bin_rows=pallas_bin_rows,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            rows = jnp.take(table, krow + lv.row_offset, axis=0)  # (N, W)
         # contraction over lanes via a (N, lanes, C) reshape (the row
         # layout is lane-major, so the reshape is free) — one fused
         # multiply-reduce instead of repeat + C strided sums, whose
@@ -235,12 +248,15 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
 def blocked_grid_encode_bound(x: jnp.ndarray, master: jnp.ndarray,
                               blk: BlockedGridEncoding,
                               bound: float = 1.0,
-                              tables: jnp.ndarray | None = None
+                              tables: jnp.ndarray | None = None,
+                              pallas_gather: bool = False,
+                              pallas_bin_rows: int = 8192
                               ) -> jnp.ndarray:
     """[-bound, bound] entry point; expands the table if not given."""
     if tables is None:
         tables = expand_blocked_tables(master, blk)
     prefix = x.shape[:-1]
     x01 = (x.reshape(-1, 3) + bound) / (2.0 * bound)
-    out = blocked_grid_encode(x01, tables, blk)
+    out = blocked_grid_encode(x01, tables, blk, pallas_gather=pallas_gather,
+                              pallas_bin_rows=pallas_bin_rows)
     return out.reshape(*prefix, -1)

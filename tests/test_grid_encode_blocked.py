@@ -84,3 +84,28 @@ def test_gradients_match_reference(rng):
     g_blk = jax.grad(loss_blk)(table)
     np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_pallas_gather_path_matches(rng):
+    """pallas_gather=True must be value- and grad-identical (interpret
+    mode on CPU; the kernel itself is parity-tested in
+    test_pallas_gather.py)."""
+    enc = make_grid_encoding(input_dim=3, num_levels=3, level_dim=2,
+                             base_resolution=4, log2_hashmap_size=8,
+                             per_level_scale=1.9, gridtype="tiled")
+    blk = make_blocked_encoding(enc)
+    table = jnp.asarray(rng.randn(enc.total_params, 2).astype(np.float32))
+    x = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+
+    def loss(t, use_pallas):
+        tables = expand_blocked_tables(t, blk)
+        out = blocked_grid_encode(x, tables, blk, pallas_gather=use_pallas,
+                                  pallas_bin_rows=256)
+        return jnp.sum(out ** 2), out
+
+    (l_ref, o_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(
+        table, False)
+    (l_p, o_p), g_p = jax.value_and_grad(loss, has_aux=True)(table, True)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
