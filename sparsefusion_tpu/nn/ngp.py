@@ -102,8 +102,11 @@ class NGPConfig:
     # the master param stays fp32 for the optimizer). None = fp32.
     table_dtype: Optional[str] = None
     # serve the per-level row gathers from VMEM via the Pallas kernel
-    # (kernels/grid_gather.py) instead of XLA's HBM gather; requires TPU,
-    # default off until measured (adjoint scatter stays XLA either way)
+    # (kernels/grid_gather.py) instead of XLA's HBM gather.  Default off:
+    # on the current toolchain the Mosaic dynamic_gather lowering crashes
+    # the TPU compiler at every candidate bin size (PERF.md round 3c);
+    # the path is parity-tested in interpret mode and kept for newer
+    # libtpu/Mosaic stacks (adjoint scatter stays XLA either way)
     pallas_gather: bool = False
 
     def encoding(self) -> GridEncoding:
