@@ -53,8 +53,16 @@ A100_REFERENCE_STEPS_PER_SEC = 20.0
 A100_REFERENCE_SCENE_MINUTES = 45.0
 AVG_PLMS_UNET_EVALS = 37.5
 
-T_BUDGET_S = float(os.environ.get("SF_BENCH_BUDGET_S", "2400"))
+T_BUDGET_S = float(os.environ.get("SF_BENCH_BUDGET_S", "1500"))
 _t_start = time.time()
+
+# Child -> parent progress channel: after every completed stage the child
+# atomically rewrites this JSON file with the best-so-far result, so the
+# watchdog can (a) distinguish "slow compile" from "wedged relay" by the
+# file's mtime and (b) still print a valid partial JSON line if the child
+# has to be killed (round 3 post-mortem: the relay wedged, both driver
+# gates produced rc=124 with zero output).
+PARTIAL_PATH = os.environ.get("SF_BENCH_PARTIAL")
 
 
 def log(*a):
@@ -63,6 +71,24 @@ def log(*a):
 
 def over_budget():
     return time.time() - _t_start > T_BUDGET_S
+
+
+def save_partial(steps_per_sec, extra):
+    if not PARTIAL_PATH:
+        return
+    payload = {
+        "metric": "vldm_denoise_steps_per_sec",
+        "value": round(steps_per_sec, 2) if steps_per_sec else None,
+        "unit": "steps/s",
+        "vs_baseline": round(
+            steps_per_sec / A100_REFERENCE_STEPS_PER_SEC, 3)
+        if steps_per_sec else None,
+        "extra": dict(extra),
+    }
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, PARTIAL_PATH)
 
 
 def main():
@@ -81,6 +107,7 @@ def main():
     log(f"[bench] imports {time.time() - _t_start:.0f}s; devices:",
         jax.devices())
     extra = {}
+    save_partial(None, extra)  # heartbeat: backend is up
 
     # ---- 1. headline: UNet denoise steps/s -------------------------------
     model = EfficientUNet(UNetConfig(), dtype=jnp.bfloat16)
@@ -103,8 +130,51 @@ def main():
     steps_per_sec = 1.0 / dt_unet
     log(f"[bench] unet {steps_per_sec:.1f} steps/s "
         f"({time.time() - _t_start:.0f}s)")
+    save_partial(steps_per_sec, extra)
 
-    # ---- 2. NGP render + input step on the shipped TPU preset ------------
+    # ---- 2. VAE encode/decode at 256^2 (cheap compiles first) ------------
+    dt_enc = dt_dec = None
+    try:
+        if over_budget():
+            raise TimeoutError("budget")
+        from sparsefusion_tpu.nn.vae import AutoencoderKL, VAEConfig
+
+        vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+        img256 = jax.random.uniform(jax.random.PRNGKey(4), (1, 256, 256, 3))
+        # init via the full autoencode __call__ so BOTH encoder and
+        # decoder (incl. post_quant_conv) params exist in the tree
+        vshapes = jax.eval_shape(
+            lambda k: vae.init(k, img256),
+            jax.random.PRNGKey(5))["params"]
+        vparams = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), vshapes)
+
+        @jax.jit
+        def vae_enc(img):
+            return vae.apply({"params": vparams}, img,
+                             method=AutoencoderKL.encode_mode)
+
+        @jax.jit
+        def vae_dec(z):
+            return vae.apply({"params": vparams}, z,
+                             method=AutoencoderKL.decode)
+
+        z0 = vae_enc(img256)
+
+        dt_enc = timeit(lambda img: vae_dec(vae_enc(img)) * 0.5 + 0.25,
+                        img256, n1=4, n2=16)
+        # dt_enc measures enc+dec roundtrip; split by measuring dec alone
+        dt_dec = timeit(lambda z: jnp.mean(vae_dec(z)) * 0.0 + z, z0,
+                        n1=4, n2=16)
+        extra["vae_decode_ms"] = round(1e3 * dt_dec, 1)
+        extra["vae_encode_ms"] = round(1e3 * max(dt_enc - dt_dec, 1e-4), 1)
+        log(f"[bench] vae enc+dec {1e3 * dt_enc:.0f} ms "
+            f"({time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] vae section skipped: {type(e).__name__}: {e}")
+
+    # ---- 3. NGP render + input step on the shipped TPU preset ------------
     dt_in = dt_in_two = dt_render = dt_full = None
     try:
         if over_budget():
@@ -171,6 +241,7 @@ def main():
         log(f"[bench] render fwd {1e3 * dt_render:.0f} ms "
             f"({extra['ngp_render_rays_per_sec']:.0f} rays/s, "
             f"{time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
 
         tx = make_ngp_optimizer(cfg)
         opt_state = tx.init(ngp_params)
@@ -219,6 +290,7 @@ def main():
             (cfg.input_rays or n_rays) / dt_in)
         log(f"[bench] march input step {1e3 * dt_in:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
 
         # the pre-occupancy two-phase step (iters < occupancy_start)
         dt_in_two = timeit(make_step(cfg.input_rays, vcfg_two),
@@ -226,6 +298,7 @@ def main():
         extra["input_step_two_phase_ms"] = round(1e3 * dt_in_two, 1)
         log(f"[bench] two-phase input step {1e3 * dt_in_two:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
 
         # the LPIPS-active fusion grad variant renders the full image
         dt_full = timeit(make_step(None, vcfg), (ngp_params, opt_state),
@@ -233,49 +306,9 @@ def main():
         extra["full_grad_step_ms"] = round(1e3 * dt_full, 1)
         log(f"[bench] full grad step {1e3 * dt_full:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
     except Exception as e:  # noqa: BLE001 — report what we have
         log(f"[bench] ngp section skipped: {type(e).__name__}: {e}")
-
-    # ---- 3. VAE encode/decode at 256^2 ------------------------------------
-    dt_enc = dt_dec = None
-    try:
-        if over_budget():
-            raise TimeoutError("budget")
-        from sparsefusion_tpu.nn.vae import AutoencoderKL, VAEConfig
-
-        vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
-        img256 = jax.random.uniform(jax.random.PRNGKey(4), (1, 256, 256, 3))
-        # init via the full autoencode __call__ so BOTH encoder and
-        # decoder (incl. post_quant_conv) params exist in the tree
-        vshapes = jax.eval_shape(
-            lambda k: vae.init(k, img256),
-            jax.random.PRNGKey(5))["params"]
-        vparams = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), vshapes)
-
-        @jax.jit
-        def vae_enc(img):
-            return vae.apply({"params": vparams}, img,
-                             method=AutoencoderKL.encode_mode)
-
-        @jax.jit
-        def vae_dec(z):
-            return vae.apply({"params": vparams}, z,
-                             method=AutoencoderKL.decode)
-
-        z0 = vae_enc(img256)
-
-        dt_enc = timeit(lambda img: vae_dec(vae_enc(img)) * 0.5 + 0.25,
-                        img256, n1=4, n2=16)
-        # dt_enc measures enc+dec roundtrip; split by measuring dec alone
-        dt_dec = timeit(lambda z: jnp.mean(vae_dec(z)) * 0.0 + z, z0,
-                        n1=4, n2=16)
-        extra["vae_decode_ms"] = round(1e3 * dt_dec, 1)
-        extra["vae_encode_ms"] = round(1e3 * max(dt_enc - dt_dec, 1e-4), 1)
-        log(f"[bench] vae enc+dec {1e3 * dt_enc:.0f} ms "
-            f"({time.time() - _t_start:.0f}s)")
-    except Exception as e:  # noqa: BLE001
-        log(f"[bench] vae section skipped: {type(e).__name__}: {e}")
 
     # ---- 4. scene-minutes estimate ----------------------------------------
     if None not in (dt_in, dt_in_two, dt_render, dt_enc, dt_full):
@@ -296,6 +329,7 @@ def main():
             A100_REFERENCE_SCENE_MINUTES / est_min, 2)
         log(f"[bench] est scene minutes {est_min:.1f}")
 
+    save_partial(steps_per_sec, extra)
     print(json.dumps({
         "metric": "vldm_denoise_steps_per_sec",
         "value": round(steps_per_sec, 2),
@@ -307,36 +341,83 @@ def main():
 
 
 def _main_with_watchdog():
-    """Run the benchmark in a child with a hang watchdog + one retry.
+    """Run the benchmark in a child under a progress-based watchdog, and
+    ALWAYS print exactly one JSON line.
 
-    The remote TPU relay occasionally wedges between sessions (a client
-    then blocks forever on a dead connection).  The child re-execs this
-    file with SF_BENCH_CHILD=1; if it produces no stdout within the
-    budget, kill it and retry once — the persistent XLA cache makes the
-    retry cheap.
+    Round-3 post-mortem: the remote TPU relay wedged during judging and
+    both driver gates died at their outer ``timeout`` (rc=124) with zero
+    output, losing the round's measurements entirely.  The child now
+    streams best-so-far results into SF_BENCH_PARTIAL after every stage;
+    the parent kills the child if the total budget is exceeded OR no
+    stage completes for SF_BENCH_STALL_S (a wedged relay never completes
+    the first heartbeat; a slow remote compile finishes within minutes),
+    then prints the partial result — or an explicit zero-value error
+    line if nothing was measured — so the driver always gets parseable
+    JSON well inside its own budget.
     """
     import subprocess
+    import tempfile
 
+    partial_path = os.path.join(
+        tempfile.gettempdir(), f"sf_bench_partial_{os.getpid()}.json")
+    env = dict(os.environ, SF_BENCH_CHILD="1",
+               SF_BENCH_PARTIAL=partial_path)
     budget = min(T_BUDGET_S, 1500.0)
-    env = dict(os.environ, SF_BENCH_CHILD="1")
-    last_err = ""
-    for attempt in (1, 2):
-        log(f"[bench] watchdog attempt {attempt} (budget {budget:.0f}s)")
+    stall = float(os.environ.get("SF_BENCH_STALL_S", "600"))
+    log(f"[bench] watchdog: budget {budget:.0f}s, stall {stall:.0f}s")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    t0 = time.time()
+    last_progress = t0
+    last_mtime = None
+    killed = ""
+    while proc.poll() is None:
+        now = time.time()
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=budget)
-        except subprocess.TimeoutExpired as e:
-            last_err = f"timeout after {budget:.0f}s"
-            log(f"[bench] attempt {attempt}: {last_err}")
-            continue
-        sys.stderr.write(proc.stderr)
-        if proc.returncode == 0 and proc.stdout.strip():
-            sys.stdout.write(proc.stdout)
-            return
-        last_err = f"rc={proc.returncode} tail={proc.stderr[-300:]}"
-        log(f"[bench] attempt {attempt} failed: {last_err}")
-    raise SystemExit(f"bench failed twice: {last_err}")
+            mtime = os.path.getmtime(partial_path)
+        except OSError:
+            mtime = None
+        if mtime is not None and mtime != last_mtime:
+            last_mtime, last_progress = mtime, now
+        if now - t0 > budget:
+            killed = f"total budget {budget:.0f}s exceeded"
+            break
+        if now - last_progress > stall:
+            killed = f"no stage progress for {stall:.0f}s"
+            break
+        time.sleep(5)
+    if killed:
+        log(f"[bench] watchdog kill: {killed}")
+        proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except Exception:  # noqa: BLE001
+            pass
+    out = ""
+    try:
+        out = proc.stdout.read() if proc.stdout else ""
+    except Exception:  # noqa: BLE001
+        pass
+    if not killed and proc.returncode == 0 and out.strip():
+        sys.stdout.write(out)
+        return
+    try:
+        with open(partial_path) as f:
+            data = json.load(f)
+    except Exception:  # noqa: BLE001
+        data = None
+    if data and data.get("value"):
+        data.setdefault("extra", {})["partial"] = (
+            killed or f"rc={proc.returncode}")
+        print(json.dumps(data))
+        return
+    print(json.dumps({
+        "metric": "vldm_denoise_steps_per_sec", "value": 0.0,
+        "unit": "steps/s", "vs_baseline": 0.0,
+        "extra": {"error": killed or f"rc={proc.returncode}",
+                  "note": "backend unresponsive before the first "
+                          "measurement (wedged TPU relay?)"}}))
 
 
 if __name__ == "__main__":

@@ -28,8 +28,12 @@ Equivalent of the reference CUDA gather loop in
 with register accumulation); the TPU form amortizes the 8 corners into
 one row (blocked tables) and serves the row from VMEM.
 
-Enable with ``use_pallas=True`` (wired via ``SF_PALLAS_GATHER=1`` in the
-encode path once measured); falls back to ``jnp.take`` on CPU.
+Wired behind ``NGPConfig.pallas_gather`` (the ``pallas_gather=`` kwarg
+threaded through ``nn/ngp.py`` -> ``ops/grid_encode_blocked.py``), which
+defaults OFF: on this toolchain the Mosaic lowering crashes the remote
+TPU compiler at every candidate bin size (round 3c, PERF.md) — the flag
+is parity-tested in interpret mode and kept for newer libtpu/Mosaic
+stacks.  Falls back to ``jnp.take`` on CPU.
 """
 from __future__ import annotations
 
