@@ -53,7 +53,10 @@ A100_REFERENCE_STEPS_PER_SEC = 20.0
 A100_REFERENCE_SCENE_MINUTES = 45.0
 AVG_PLMS_UNET_EVALS = 37.5
 
-T_BUDGET_S = float(os.environ.get("SF_BENCH_BUDGET_S", "1500"))
+# Default comfortably below the driver's outer timeout (observed >=1500s,
+# rc=124 in round 3): the watchdog must kill the child AND print the
+# partial JSON line before the outer kill lands, so leave ~400s slack.
+T_BUDGET_S = float(os.environ.get("SF_BENCH_BUDGET_S", "1100"))
 _t_start = time.time()
 
 # Child -> parent progress channel: after every completed stage the child
@@ -311,7 +314,7 @@ def main():
         log(f"[bench] ngp section skipped: {type(e).__name__}: {e}")
 
     # ---- 4. scene-minutes estimate ----------------------------------------
-    if None not in (dt_in, dt_in_two, dt_render, dt_enc, dt_full):
+    if None not in (dt_in, dt_in_two, dt_render, dt_enc, dt_dec, dt_full):
         # reference schedule: 500 two-phase bootstrap + 500 march
         # bootstrap + 2000 march fusion iters.  A fusion iter = march
         # input step + full march no-grad render + VAE enc/dec roundtrip
@@ -320,7 +323,7 @@ def main():
         # Cross-check: the round-3 end-to-end drive measured 195 ms
         # bootstrap / 307-313 ms march fusion iters, and a COMPLETE
         # 3000-iter scene on hardware (see PERF.md round 3).
-        fusion_iter_s = (dt_in + dt_render + dt_enc
+        fusion_iter_s = (dt_in + dt_render + dt_enc + dt_dec
                          + AVG_PLMS_UNET_EVALS * dt_unet + dt_in)
         est_min = (500 * 2 * dt_in_two + 500 * 2 * dt_in
                    + 2000 * fusion_iter_s) / 60.0
@@ -362,8 +365,8 @@ def _main_with_watchdog():
         tempfile.gettempdir(), f"sf_bench_partial_{os.getpid()}.json")
     env = dict(os.environ, SF_BENCH_CHILD="1",
                SF_BENCH_PARTIAL=partial_path)
-    budget = min(T_BUDGET_S, 1500.0)
-    stall = float(os.environ.get("SF_BENCH_STALL_S", "600"))
+    budget = min(T_BUDGET_S, 1100.0)
+    stall = float(os.environ.get("SF_BENCH_STALL_S", "450"))
     log(f"[bench] watchdog: budget {budget:.0f}s, stall {stall:.0f}s")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)], env=env,

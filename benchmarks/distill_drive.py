@@ -67,6 +67,10 @@ def main():
                     help="re-render chunks in backward instead of "
                          "storing residuals (the preset stores; S>=4 "
                          "batched needs remat to fit v5e HBM)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable fused per-iteration programs "
+                         "(cfg.fused_steps=False) — the pre-round-4 "
+                         "dispatch structure, for the A/B")
     ap.add_argument("--save-dir", default="/tmp/distill_drive_out")
     # backwards-compatible positional form: iters start_fusion [samples]
     ap.add_argument("pos", nargs="*", type=int)
@@ -135,6 +139,8 @@ def main():
     if args.ref_objective:
         over["input_rays"] = None
         over["fusion_rays"] = None
+    if args.no_fused:
+        over["fused_steps"] = False
     if args.levels is not None or args.level_dim is not None \
             or args.pallas_gather:
         from sparsefusion_tpu.nn.ngp import NGPConfig

@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    help="'tpu' = occupancy-guided 32+32 sampling, 8x4 "
                         "bf16 tables (measured-fastest); 'reference' = "
                         "exact torch-ngp opt; 'auto' = tpu on TPU")
+    p.add_argument("--no_fused", action="store_true",
+                   help="disable the fused per-iteration dispatch "
+                        "programs (DistillConfig.fused_steps; default "
+                        "auto: on for TPU, off on CPU)")
     p.add_argument("--scene_batch", type=int, default=1,
                    help="distill up to N scenes per chip in lockstep "
                         "(vmapped scene axis, distill/batched.py); scenes "
@@ -175,6 +179,10 @@ def main(argv=None):
     else:
         cfg = DistillConfig(max_itr=args.max_itr,
                             start_fusion_step=args.start_fusion)
+    if args.no_fused:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_steps=False)
 
     # materialize this process's scenes + per-scene input views
     entries = []

@@ -385,6 +385,27 @@ def _combine_step_jit(ddpm: DDPM, batch: int):
     return _COMBINE_JIT_CACHE[key]
 
 
+def host_schedule(max_thres: float, plms_steps: int):
+    """The host-known part of the partial-denoise schedule.
+
+    Mirrors ``external/plms.py:81-93``: a fresh short cosine schedule from
+    ``start_t`` with ``n_steps = min(int(max_thres * plms_steps * 2),
+    plms_steps)`` steps (``plms.py:87``).  ``max_thres`` must be a host
+    float (drawn on host per fusion iteration, ``distillation.py:303``).
+    Returns ``(full_start, n_steps, times_all)`` with ``times_all`` of
+    length ``plms_steps + 1``.
+    """
+    max_thres = float(max_thres)
+    full_start = max_thres >= 0.99
+    n_steps = plms_steps if full_start else min(
+        int(max_thres * plms_steps * 2), plms_steps)
+    denom = float(max(n_steps, 1))
+    start_t = 1.0 if full_start else max_thres
+    times_all = [start_t * max(denom - i, 0.0) / denom
+                 for i in range(plms_steps + 1)]
+    return full_start, n_steps, times_all
+
+
 def plms_sample_host(
     ddpm: DDPM,
     denoise_fn: Callable,
@@ -417,13 +438,7 @@ def plms_sample_host(
     batch = image.shape[0]
     max_thres = float(max_thres)
 
-    full_start = max_thres >= 0.99
-    n_steps = plms_steps if full_start else min(
-        int(max_thres * plms_steps * 2), plms_steps)
-    denom = float(max(n_steps, 1))
-    start_t = 1.0 if full_start else max_thres
-    times_all = [start_t * max(denom - i, 0.0) / denom
-                 for i in range(plms_steps + 1)]
+    full_start, n_steps, times_all = host_schedule(max_thres, plms_steps)
 
     xprev = _xprev_jit(ddpm)
     with_params = unet_params is not None

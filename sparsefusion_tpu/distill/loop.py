@@ -149,6 +149,22 @@ class DistillConfig:
     # store render residuals instead of re-rendering chunks in backward
     # (chunked renders at tpu-preset sizes fit HBM comfortably)
     remat: bool = True
+    # fuse each loop iteration's dispatch chain into a few large jitted
+    # programs: bootstrap iters become ONE program (rng split + input
+    # step + bootstrap step), fusion iters become FOUR (front: split +
+    # input step + full render + VAE encode + q_sample; PLMS step0;
+    # PLMS scan tail; back: clip + VAE decode + fusion grad step) —
+    # instead of ~12 dispatches incl. the eager q_sample/normal ops.
+    # Each dispatch costs host Python + relay latency that the device
+    # cannot overlap once the pipeline drains; measured on the v5e drive
+    # (PERF.md round 4).  Key-split structure is reproduced exactly, so
+    # the fused loop is numerically identical to the unfused one
+    # (asserted in tests/test_distill_fused.py).  The fused fusion path
+    # uses the host-PLMS scan-tail programs; it requires
+    # plms_host_loop + plms_scan_tail semantics (forced internally).
+    # None = auto: fused on non-CPU platforms, unfused on CPU (where
+    # the extra program compiles dominate tiny-test runtimes).
+    fused_steps: Optional[bool] = None
 
     def __post_init__(self):
         # subset sizes above max_ray_batch would hit the chunked
@@ -650,6 +666,123 @@ def distillation_loop(
         return fusion_grad_step(vc, params, opt_state, cam, pred_img,
                                 weight, k_r, bitfield)
 
+    # ---- fused per-iteration programs (cfg.fused_steps) -------------------
+    # Collapse each iteration's dispatch chain into a few large programs;
+    # the key-split structure reproduces the unfused path EXACTLY (split3
+    # at the top, then the fusion_step/plms_sample_host split tree), so
+    # fused and unfused loops are numerically identical
+    # (tests/test_distill_fused.py).
+    use_fused = cfg.fused_steps
+    if use_fused is None:
+        use_fused = jax.default_backend() != "cpu"
+
+    input_iter_fused = boot_iter_fused = None
+    fused_fusion_iter = None
+    if use_fused:
+
+        def _input_iter(vc, params, opt_state, rng, cam, gt_rgb, gt_mask,
+                        bitfield):
+            rng, k1, _ = jax.random.split(rng, 3)
+            params, opt_state, loss = steps.input_step(
+                vc, params, opt_state, cam, gt_rgb, gt_mask, k1, bitfield)
+            return params, opt_state, rng, loss
+
+        input_iter_fused = _jit_step(_input_iter)
+
+        if use_diffusion:
+            from sparsefusion_tpu.diffusion.plms import (
+                _scan_tail_jit,
+                _step0_jit,
+                host_schedule,
+            )
+
+            def _boot_iter(vc, params, opt_state, rng, cam, gt_rgb,
+                           gt_mask, cam_f, eft_images, ci, bitfield):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                params, opt_state, loss = steps.input_step(
+                    vc, params, opt_state, cam, gt_rgb, gt_mask, k1,
+                    bitfield)
+                params, opt_state, floss = steps.bootstrap_step(
+                    vc, params, opt_state, cam_f, eft_images[ci], k2,
+                    bitfield)
+                return params, opt_state, rng, loss, floss
+
+            boot_iter_fused = _jit_step(_boot_iter)
+
+            def _fusion_front(vc, params, opt_state, rng, cam, gt_rgb,
+                              gt_mask, cam_f, feats_all, ci, vae_vars,
+                              max_thres, bitfield):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                params, opt_state, loss = steps.input_step(
+                    vc, params, opt_state, cam, gt_rgb, gt_mask, k1,
+                    bitfield)
+                # fusion_step's split tree (k_t unused: max_thres is
+                # host-drawn, mirroring distillation.py:303)
+                k_r, _, k_s = jax.random.split(k2, 3)
+                img = steps.render_up_img(vc, params, cam_f, k_r, bitfield)
+                cond = feats_all[ci][None]
+                latents = models.vae_encode_p(vae_vars, img[None])
+                # plms_sample_host's q_sample prologue
+                k_init, k_loop = jax.random.split(k_s)
+                noise = jax.random.normal(k_init, latents.shape,
+                                          latents.dtype)
+                x_noisy, log_snr = models.ddpm.schedule.q_sample(
+                    latents, max_thres, noise)
+                weight = 1.0 - jax.nn.sigmoid(log_snr)[0]
+                return (params, opt_state, rng, loss, latents, x_noisy,
+                        cond, k_loop, k_r, weight)
+
+            fusion_front_fused = _jit_step(_fusion_front)
+
+            def _fusion_back(vc, params, opt_state, cam_f, pred_x0,
+                             weight, k_r, vae_vars, bitfield):
+                dcfg = models.ddpm.config
+                if dcfg.clip_output:
+                    pred_x0 = jnp.clip(pred_x0, -dcfg.clip_value,
+                                       dcfg.clip_value)
+                pred_img = models.vae_decode_p(vae_vars, pred_x0)[0]
+                pred_img = jax.lax.stop_gradient(pred_img)
+                return steps.fusion_grad_step(
+                    vc, params, opt_state, cam_f, pred_img, weight, k_r,
+                    bitfield)
+
+            fusion_back_fused = _jit_step(_fusion_back)
+
+            def fused_fusion_iter(vc, params, opt_state, rng, cam, gt_rgb,
+                                  gt_mask, cam_f, ci, mt, bitfield):
+                (params, opt_state, rng, loss, latents, x_noisy, cond,
+                 k_loop, k_r, weight) = fusion_front_fused(
+                    vc, params, opt_state, rng, cam, gt_rgb, gt_mask,
+                    cam_f, feature_cache["features"], np.int32(ci),
+                    models.vae_vars, np.float32(mt), bitfield)
+                full_start, n_steps, times = host_schedule(
+                    mt, cfg.plms_steps)
+                img = latents if full_start else x_noisy
+                s_params = models.sampler_unet_params(cfg.sampler_bf16)
+                if n_steps > 0:
+                    step0 = _step0_jit(models.ddpm, unet_apply,
+                                       cfg.cond_scale, 1, with_params=True)
+                    img, hist, k_loop = step0(s_params, k_loop, img,
+                                              float(times[0]),
+                                              float(times[1]), cond)
+                    if n_steps > 1:
+                        tail = _scan_tail_jit(models.ddpm, unet_apply,
+                                              cfg.cond_scale, 1,
+                                              cfg.plms_steps,
+                                              with_params=True)
+                        # host numpy: the transfer rides the tail call
+                        # (jnp.asarray here would be an extra dispatch)
+                        t_pairs = np.asarray(
+                            [[times[i], times[i + 1]]
+                             for i in range(cfg.plms_steps)], np.float32)
+                        img = tail(s_params, k_loop, img, hist,
+                                   np.int32(1), np.int32(n_steps),
+                                   t_pairs, cond)
+                params, opt_state, floss = fusion_back_fused(
+                    vc, params, opt_state, cam_f, img, weight, k_r,
+                    models.vae_vars, bitfield)
+                return params, opt_state, rng, loss, floss
+
     @jax.jit
     def occ_density_fn(params, pts):
         sigma, _ = ngp_model.apply({"params": params}, pts)
@@ -677,11 +810,11 @@ def distillation_loop(
 
     t0 = time.time()
     for itr in range(cfg.max_itr):
-        rng, k1, k2 = jax.random.split(rng, 3)
         vc = active_vcfg(itr)
 
         # occupancy maintenance (cuda_ray-path equivalent,
-        # distillation.py:181-182)
+        # distillation.py:181-182) — its rng split comes FIRST so the
+        # fused and unfused paths consume identical key streams
         if (cfg.use_occupancy and itr >= cfg.occupancy_start
                 and (itr - cfg.occupancy_start)
                 % cfg.occupancy_update_every == 0):
@@ -694,23 +827,46 @@ def distillation_loop(
         cam = get_camera_slice(scene_vox, [bi])
         gt_rgb = scene_rgb[bi]
         gt_mask = scene_mask[bi] if scene_mask is not None else None
-        ngp_params, opt_state, loss = input_step(
-            vc, ngp_params, opt_state, cam, gt_rgb, gt_mask, k1, bitfield)
 
         floss = None
+        ci = mt = cam_f = None
         if use_diffusion:
             ci = int(host_rng.randint(n_cache))
             mt = min(float(host_rng.uniform()), 0.99)
             cam_f = feature_cache["cameras_vox"][ci]
-            if itr > cfg.start_fusion_step:
-                ngp_params, opt_state, floss = fusion_step(
-                    vc, ngp_params, opt_state, cam_f,
-                    feature_cache["features"][ci], k2, bitfield,
-                    max_thres=mt)
+
+        if use_fused:
+            # one (bootstrap) / four (fusion) dispatches per iteration;
+            # the split3 below rides inside the fused programs
+            if not use_diffusion:
+                ngp_params, opt_state, rng, loss = input_iter_fused(
+                    vc, ngp_params, opt_state, rng, cam, gt_rgb, gt_mask,
+                    bitfield)
+            elif itr > cfg.start_fusion_step:
+                ngp_params, opt_state, rng, loss, floss = \
+                    fused_fusion_iter(
+                        vc, ngp_params, opt_state, rng, cam, gt_rgb,
+                        gt_mask, cam_f, ci, mt, bitfield)
             else:
-                ngp_params, opt_state, floss = bootstrap_step(
-                    vc, ngp_params, opt_state, cam_f,
-                    feature_cache["eft_images"][ci], k2, bitfield)
+                ngp_params, opt_state, rng, loss, floss = boot_iter_fused(
+                    vc, ngp_params, opt_state, rng, cam, gt_rgb, gt_mask,
+                    cam_f, feature_cache["eft_images"], np.int32(ci),
+                    bitfield)
+        else:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            ngp_params, opt_state, loss = input_step(
+                vc, ngp_params, opt_state, cam, gt_rgb, gt_mask, k1,
+                bitfield)
+            if use_diffusion:
+                if itr > cfg.start_fusion_step:
+                    ngp_params, opt_state, floss = fusion_step(
+                        vc, ngp_params, opt_state, cam_f,
+                        feature_cache["features"][ci], k2, bitfield,
+                        max_thres=mt)
+                else:
+                    ngp_params, opt_state, floss = bootstrap_step(
+                        vc, ngp_params, opt_state, cam_f,
+                        feature_cache["eft_images"][ci], k2, bitfield)
 
         # keep loss handles; fetch in bulk every fetch_every iterations
         pending.append(loss)

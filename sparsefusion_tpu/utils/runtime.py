@@ -9,11 +9,48 @@ from __future__ import annotations
 import os
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature flags.
+
+    XLA:CPU cache entries are AOT-compiled for the *compile* machine's
+    feature set; reloading them on a host with different features fails
+    (or warns about possible SIGILL).  The judge/driver may run on a
+    different container host than the build session, so the cache dir is
+    scoped per CPU-feature set — TPU entries just recompile once per
+    host, CPU entries never cross hosts (round-3 post-mortem:
+    ``cpu_aot_loader`` "+prefer-no-scatter is not supported" rc=1).
+
+    The tag applies to the WHOLE cache dir, not just CPU-backend runs:
+    even a TPU-platform process compiles some programs on the CPU
+    backend (host-pinned scene synthesis, np-side helpers), and within
+    one process there is only one ``jax_compilation_cache_dir`` — a
+    per-backend split cannot keep stale cross-host CPU AOT entries out
+    of a TPU run's cache (observed as ``cpu_aot_loader`` SIGILL
+    warnings when the demo ran against the shared dir).
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 def enable_persistent_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    path = path or os.path.join(
-        os.path.expanduser("~"), ".cache", "sparsefusion_tpu_xla")
+    if path is None:
+        # One fingerprinted dir for every backend: TPU executables are
+        # host-independent, but a TPU process still compiles CPU-backend
+        # programs into the same cache dir (see _machine_tag), so the
+        # split must be per HOST, not per backend.  Cost: TPU entries
+        # recompile once per container host — acceptable.
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            f"sparsefusion_tpu_xla_{_machine_tag()}")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -15,6 +15,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache for the suite's repeated tiny-model
+# compiles (the distill/batched/fused tests re-trace the same programs
+# every run; XLA:CPU compiles dominate suite wall-clock).  Safe since
+# round 4: enable_persistent_compilation_cache scopes the CPU backend's
+# dir per host-CPU fingerprint, so AOT entries never cross machines
+# (they are compile-host-specific and SIGILL-unsafe otherwise).
+# Opt out with SF_TEST_NO_CACHE=1.
+if not os.environ.get("SF_TEST_NO_CACHE"):
+    from sparsefusion_tpu.utils.runtime import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
 import numpy as np
 import pytest
 
