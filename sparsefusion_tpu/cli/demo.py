@@ -64,7 +64,9 @@ def parse_args(argv=None):
     p.add_argument("--no_fused", action="store_true",
                    help="disable the fused per-iteration dispatch "
                         "programs (DistillConfig.fused_steps; default "
-                        "auto: on for TPU, off on CPU)")
+                        "auto: on for TPU, off on CPU); only affects "
+                        "the sequential loop — scene batches >1 use "
+                        "distill/batched.py, which has no fused path")
     p.add_argument("--scene_batch", type=int, default=1,
                    help="distill up to N scenes per chip in lockstep "
                         "(vmapped scene axis, distill/batched.py); scenes "
@@ -195,8 +197,24 @@ def main(argv=None):
             f"{args.category}_{val_idx:03d}_c{len(input_idx)}"
         entries.append((val_idx, scene, input_idx))
 
+    # one scene per LOCAL device by default (the reference's
+    # one-scene-per-GPU mp.spawn semantics, demo.py:18-60): on a
+    # multi-chip host the batched loop shards its scene axis over a
+    # local mesh so N scenes distill concurrently instead of
+    # sequentially on one chip while the rest idle
+    n_local = jax.local_device_count()
+    scene_batch = args.scene_batch
+    if scene_batch == 1 and n_local > 1 and len(entries) > 1:
+        scene_batch = n_local
+        print(f"auto scene_batch={n_local}: one scene per local device")
+    local_mesh = None
+    if n_local > 1 and scene_batch > 1:
+        from sparsefusion_tpu.parallel.mesh import make_mesh
+
+        local_mesh = make_mesh(jax.local_devices())
+
     groups = [[e] for e in entries]
-    if args.scene_batch > 1:
+    if scene_batch > 1:
         # bucket by (n_frames, image_size, n_ctx) — the batched loop's
         # stacking contract — then chunk to scene_batch
         buckets = {}
@@ -205,8 +223,8 @@ def main(argv=None):
             buckets.setdefault(key, []).append(e)
         groups = []
         for bucket in buckets.values():
-            for i in range(0, len(bucket), args.scene_batch):
-                groups.append(bucket[i:i + args.scene_batch])
+            for i in range(0, len(bucket), scene_batch):
+                groups.append(bucket[i:i + scene_batch])
 
     for group in groups:
         if len(group) == 1:
@@ -228,7 +246,7 @@ def main(argv=None):
                 cfg, jax.random.PRNGKey(args.val_seed + group[0][0]),
                 save_dir=args.exp_dir,
                 use_diffusion=not args.no_diffusion,
-                lpips_fn=lpips_fn)
+                lpips_fn=lpips_fn, mesh=local_mesh)
 
 
 if __name__ == "__main__":

@@ -80,12 +80,45 @@ def batched_distillation_loop(
     use_diffusion: bool = True,
     verbose: bool = True,
     lpips_fn=None,
+    mesh=None,
 ) -> List[Dict[str, Any]]:
     """Optimize S NGPs (one per scene) in lockstep; returns per-scene
-    result dicts with the same keys as :func:`distillation_loop`."""
-    S = len(scenes)
-    if S == 0:
+    result dicts with the same keys as :func:`distillation_loop`.
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh`` over the LOCAL
+    devices.  Every per-scene array (NGP params, optimizer state,
+    occupancy grids, caches, targets) is placed with its leading scene
+    axis sharded over the mesh, so the vmapped per-scene programs
+    partition one-scene-per-chip with ZERO cross-device communication —
+    the TPU-native realization of the reference's one-scene-per-GPU
+    ``mp.spawn`` (``demo.py:18-60``).  The scene list is padded (by
+    cycling) to a multiple of the mesh size; padded slots are optimized
+    but never evaluated or saved.
+    """
+    S_real = len(scenes)
+    if S_real == 0:
         return []
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        pad = (-S_real) % n_dev
+        if pad:
+            scenes = list(scenes) + [scenes[i % S_real]
+                                     for i in range(pad)]
+            input_idx_list = (list(input_idx_list)
+                              + [input_idx_list[i % S_real]
+                                 for i in range(pad)])
+        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    S = len(scenes)
+
+    def _place(tree):
+        """Commit a leading-S pytree to the scene-sharded layout."""
+        if shard is None or tree is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, shard), tree)
     image_size = scenes[0].images.shape[1]
     n_frames = len(scenes[0])
     for s in scenes:
@@ -121,12 +154,12 @@ def batched_distillation_loop(
         depth_ranges.append(_scene_depth_range(cams))
     n_cache = n_frames + cfg.n_aug_cameras
 
-    rgb_all = jnp.stack([jnp.asarray(s.images) for s in scenes])
+    rgb_all = _place(jnp.stack([jnp.asarray(s.images) for s in scenes]))
     has_mask = all(s.masks is not None for s in scenes)
-    mask_all = (jnp.stack([jnp.asarray(s.masks) for s in scenes])
-                if has_mask else None)
-    scene_vox_all = _stack_trees(scene_vox_list)     # (S, N, ...) cameras
-    aug_vox_all = _stack_trees(aug_vox_list)         # (S, M, ...) cameras
+    mask_all = _place(jnp.stack([jnp.asarray(s.masks) for s in scenes])
+                      if has_mask else None)
+    scene_vox_all = _place(_stack_trees(scene_vox_list))  # (S, N, ...)
+    aug_vox_all = _place(_stack_trees(aug_vox_list))      # (S, M, ...)
 
     vcfg = VolumeRendererConfig(
         num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
@@ -158,9 +191,8 @@ def batched_distillation_loop(
             return eft_model.apply(eft_vars, imgs,
                                    method=type(eft_model).encode)
 
-        @jax.jit
-        def cache_all(eft_vars, cams_all: Cameras, ctx_idx, ctx_rgb,
-                      latent, depth_lo, depth_hi):
+        def cache_fn(eft_vars, cams_all: Cameras, ctx_idx, ctx_rgb,
+                     latent, depth_lo, depth_hi):
             def one(ci):
                 rel_ci = get_relative_cameras(cams_all, ci[None],
                                               center_at_origin=True)
@@ -180,18 +212,43 @@ def batched_distillation_loop(
 
             return jax.lax.map(one, jnp.arange(n_cache))
 
-        feats_l, imgs_l = [], []
-        for si in range(S):
-            ctx_idx = jnp.asarray(input_idx_list[si])
-            ctx_rgb = rgb_all[si][ctx_idx]
-            latent = encode_ctx(models.eft_vars, ctx_rgb)
-            lo, hi = depth_ranges[si]
-            f, im = cache_all(models.eft_vars, aug_rel_list[si], ctx_idx,
-                              ctx_rgb, latent, float(lo), float(hi))
-            feats_l.append(f)
-            imgs_l.append(im)
-        feats_all = jnp.stack(feats_l)        # (S, M, eft, eft, C)
-        eft_imgs_all = jnp.stack(imgs_l)      # (S, M, H, W, 3)
+        if shard is not None:
+            # mesh mode: ONE program caches all S scenes — vmapped over
+            # the sharded scene axis, each chip caches its own scene(s)
+            aug_rel_all = _place(_stack_trees(aug_rel_list))
+            ctx_idx_all = _place(jnp.asarray(input_idx_list))
+            ctx_rgb_all = _place(jnp.stack([
+                jnp.asarray(np.asarray(scenes[si].images)[
+                    np.asarray(input_idx_list[si])]) for si in range(S)]))
+            lo_vec = _place(jnp.asarray([d[0] for d in depth_ranges],
+                                        jnp.float32))
+            hi_vec = _place(jnp.asarray([d[1] for d in depth_ranges],
+                                        jnp.float32))
+            encode_b = jax.jit(jax.vmap(
+                lambda v, imgs: eft_model.apply(
+                    v, imgs, method=type(eft_model).encode),
+                in_axes=(None, 0)))
+            latent_all = encode_b(models.eft_vars, ctx_rgb_all)
+            cache_b = jax.jit(jax.vmap(
+                cache_fn, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+            feats_all, eft_imgs_all = cache_b(
+                models.eft_vars, aug_rel_all, ctx_idx_all, ctx_rgb_all,
+                latent_all, lo_vec, hi_vec)
+        else:
+            cache_all = jax.jit(cache_fn)
+            feats_l, imgs_l = [], []
+            for si in range(S):
+                ctx_idx = jnp.asarray(input_idx_list[si])
+                ctx_rgb = rgb_all[si][ctx_idx]
+                latent = encode_ctx(models.eft_vars, ctx_rgb)
+                lo, hi = depth_ranges[si]
+                f, im = cache_all(models.eft_vars, aug_rel_list[si],
+                                  ctx_idx, ctx_rgb, latent, float(lo),
+                                  float(hi))
+                feats_l.append(f)
+                imgs_l.append(im)
+            feats_all = jnp.stack(feats_l)    # (S, M, eft, eft, C)
+            eft_imgs_all = jnp.stack(imgs_l)  # (S, M, H, W, 3)
         if verbose:
             print(f"cached {S}x{n_cache} features in "
                   f"{time.time() - t0:.1f}s")
@@ -210,18 +267,19 @@ def batched_distillation_loop(
 
         return jax.vmap(one)(keys)
 
-    params_b = init_params_b(jax.random.split(k_init, S))
+    params_b = _place(init_params_b(jax.random.split(k_init, S)))
     tx = make_ngp_optimizer(cfg)
-    opt_b = jax.jit(jax.vmap(tx.init))(params_b)
+    opt_b = _place(jax.jit(jax.vmap(tx.init))(params_b))
 
     occ_cascade = 1 + int(np.ceil(np.log2(max(cfg.bound, 1.0))))
     occ_n = 128 ** 3
     if cfg.use_occupancy:
-        grids_b = jnp.zeros((S, occ_cascade, occ_n), jnp.float32)
-        bf_b = jnp.full((S, occ_cascade * occ_n // 8), 255, jnp.uint8)
+        grids_b = _place(jnp.zeros((S, occ_cascade, occ_n), jnp.float32))
+        bf_b = _place(jnp.full((S, occ_cascade * occ_n // 8), 255,
+                               jnp.uint8))
     else:
         grids_b = None
-        bf_b = jnp.zeros((S, 8), jnp.uint8)
+        bf_b = _place(jnp.zeros((S, 8), jnp.uint8))
 
     steps = make_scene_step_fns(ngp_model, cfg, tx, render_hw,
                                 image_size, lpips_fn=lpips_fn)
@@ -407,9 +465,16 @@ def batched_distillation_loop(
     nff = steps.make_nff
 
     @jax.jit
-    def eval_render(params, cam, key, bitfield):
-        return _render_cam(ngp_model, params, cam, image_size, vcfg_eval,
-                           key, perturb=True, near_far_fn=nff(bitfield))
+    def eval_render_views(params, cams, keys, bitfield):
+        # all N scene views in one program + one bulk fetch (mirrors
+        # the sequential loop's Phase-C batching)
+        def one(i):
+            return _render_cam(ngp_model, params,
+                               get_camera_slice(cams, i[None]),
+                               image_size, vcfg_eval, keys[i],
+                               perturb=True, near_far_fn=nff(bitfield))
+
+        return jax.lax.map(one, jnp.arange(n_frames))
 
     n_circle = cfg.n_aug_cameras
 
@@ -426,28 +491,26 @@ def batched_distillation_loop(
     lpips_jit = (jax.jit(lambda a, b: lpips_fn(a, b))
                  if lpips_fn is not None else None)
     results = []
-    for si in range(S):
+    for si in range(S_real):  # padded mesh slots are never evaluated
         params = _tree_at(params_b, si)
         bitfield = bf_b[si]
         scene = scenes[si]
         scene_vox = scene_vox_list[si]
-        renders, sils = [], []
+        rng, k_eval = jax.random.split(rng)
+        imgs_d, sils_d = eval_render_views(
+            params, scene_vox, jax.random.split(k_eval, n_frames),
+            bitfield)
+        renders = list(np.asarray(imgs_d))
+        sils = list(np.asarray(sils_d))
         metrics = {"psnr": [], "ssim": []}
-        if lpips_fn is not None:
-            metrics["lpips"] = []
+        if lpips_jit is not None:
+            metrics["lpips"] = [
+                float(v) for v in np.asarray(
+                    lpips_jit(imgs_d, jnp.asarray(scene.images)))]
         for ci in range(n_frames):
-            rng, k = jax.random.split(rng)
-            img, sil = eval_render(params, get_camera_slice(scene_vox, [ci]),
-                                   k, bitfield)
-            img_np = np.asarray(img)
-            renders.append(img_np)
-            sils.append(np.asarray(sil))
             gt = np.asarray(scene.images[ci])
-            metrics["psnr"].append(psnr(img_np, gt))
-            metrics["ssim"].append(ssim(img_np, gt))
-            if lpips_jit is not None:
-                metrics["lpips"].append(float(
-                    lpips_jit(img[None], jnp.asarray(gt)[None])[0]))
+            metrics["psnr"].append(psnr(renders[ci], gt))
+            metrics["ssim"].append(ssim(renders[ci], gt))
         summary = {k: float(np.mean(v)) for k, v in metrics.items()}
         if verbose:
             print(f"scene {scene.sequence_name} psnr: "

@@ -892,31 +892,38 @@ def distillation_loop(
     # (single-pass march when occupancy marching is active)
     vcfg_eval = active_vcfg(cfg.max_itr)
 
-    @jax.jit
-    def eval_render(params, cam, key, bitfield):
-        img, sil = _render_cam(ngp_model, params, cam, image_size,
-                               vcfg_eval, key, perturb=True,
-                               near_far_fn=make_nff(bitfield))
-        return img, sil
+    # all scene views render in ONE jitted lax.map program + one bulk
+    # fetch, like the orbit below — a per-camera host loop pays a relay
+    # dispatch + fetch round trip per view (distillation.py:391-457
+    # iterates on the host; on TPU that's free seconds per scene)
+    n_eval = len(scene_vox)
 
-    renders, sils, metrics = [], [], {"psnr": [], "ssim": []}
+    @jax.jit
+    def eval_render_views(params, cams, keys, bitfield):
+        def one(i):
+            return _render_cam(ngp_model, params,
+                               get_camera_slice(cams, i[None]),
+                               image_size, vcfg_eval, keys[i],
+                               perturb=True, near_far_fn=make_nff(bitfield))
+
+        return jax.lax.map(one, jnp.arange(n_eval))
+
+    rng, k_eval = jax.random.split(rng)
+    imgs_d, sils_d = eval_render_views(
+        ngp_params, scene_vox, jax.random.split(k_eval, n_eval), bitfield)
+    metrics = {"psnr": [], "ssim": []}
     if lpips_fn is not None:
-        # per-scene LPIPS column, matching distillation.py:428-443
-        metrics["lpips"] = []
-        lpips_jit = jax.jit(lambda a, b: lpips_fn(a, b))
-    for ci in range(len(scene_vox)):
-        rng, k = jax.random.split(rng)
-        img, sil = eval_render(ngp_params, get_camera_slice(scene_vox, [ci]),
-                               k, bitfield)
-        img_np = np.asarray(img)
-        renders.append(img_np)
-        sils.append(np.asarray(sil))
+        # per-scene LPIPS column, matching distillation.py:428-443 —
+        # one batched call over all views
+        metrics["lpips"] = [
+            float(v) for v in np.asarray(
+                jax.jit(lpips_fn)(imgs_d, scene_rgb))]
+    renders = list(np.asarray(imgs_d))
+    sils = list(np.asarray(sils_d))
+    for ci in range(n_eval):
         gt = np.asarray(scene_rgb[ci])
-        metrics["psnr"].append(psnr(img_np, gt))
-        metrics["ssim"].append(ssim(img_np, gt))
-        if lpips_fn is not None:
-            metrics["lpips"].append(
-                float(lpips_jit(img[None], scene_rgb[ci][None])[0]))
+        metrics["psnr"].append(psnr(renders[ci], gt))
+        metrics["ssim"].append(ssim(renders[ci], gt))
 
     summary = {k: float(np.mean(v)) for k, v in metrics.items()}
     if verbose:

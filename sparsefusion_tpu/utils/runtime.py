@@ -32,12 +32,26 @@ def _machine_tag() -> str:
 
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+            content = f.read()
+        for line in content.splitlines():
+            # x86 exposes "flags", aarch64 "Features", RISC-V "isa" —
+            # match any of them so non-x86 hosts don't all collapse
+            # into one shared tag (the exact cross-host AOT hazard this
+            # fingerprint exists to prevent)
+            if line.startswith(("flags", "Features", "isa")):
+                return hashlib.sha1(line.encode()).hexdigest()[:10]
+        # unknown cpuinfo layout: hash the whole file + platform ids
+        # rather than fall back to a fixed shared tag
+        import platform
+
+        blob = (content + platform.machine()
+                + platform.processor()).encode()
+        return hashlib.sha1(blob).hexdigest()[:10]
     except OSError:
-        pass
-    return "generic"
+        import platform
+
+        blob = (platform.machine() + platform.processor()).encode()
+        return hashlib.sha1(blob).hexdigest()[:10]
 
 
 def enable_persistent_compilation_cache(path: str | None = None) -> None:
