@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--level-dim", type=int, default=None,
                     help="NGP features per level (preset: 4); gather "
                          "rows scale with levels, row width with dim")
+    ap.add_argument("--reference-preset", action="store_true",
+                    help="EXACT DistillConfig() defaults — 64+64 "
+                         "two-phase sampling, full-grid input+fusion "
+                         "steps, fp32 16-level tables, no occupancy "
+                         "(get_default_torch_ngp_opt semantics, "
+                         "distillation.py:500-526) — the quality anchor "
+                         "for the shipped tpu preset")
     ap.add_argument("--ref-objective", action="store_true",
                     help="disable the preset's 4096-ray subsampling: "
                          "full-image input/bootstrap/fusion steps with "
@@ -147,10 +154,18 @@ def main():
         over["ngp"] = NGPConfig(
             num_levels=args.levels or 8, level_dim=args.level_dim or 4,
             table_dtype="bfloat16", pallas_gather=args.pallas_gather)
-    cfg = tpu_distill_config(
-        max_itr=args.iters, start_fusion_step=args.start_fusion,
-        n_aug_cameras=4, eval_every=0, loss_fetch_every=args.fetch_every,
-        **over)
+    if args.reference_preset:
+        from sparsefusion_tpu.distill.loop import DistillConfig
+
+        cfg = DistillConfig(
+            max_itr=args.iters, start_fusion_step=args.start_fusion,
+            n_aug_cameras=4, eval_every=0,
+            loss_fetch_every=args.fetch_every, **over)
+    else:
+        cfg = tpu_distill_config(
+            max_itr=args.iters, start_fusion_step=args.start_fusion,
+            n_aug_cameras=4, eval_every=0,
+            loss_fetch_every=args.fetch_every, **over)
 
     t1 = time.time()
     if args.scenes > 1:

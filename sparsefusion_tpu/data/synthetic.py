@@ -107,9 +107,16 @@ class SyntheticDataset:
         self.n_scenes = n_scenes
         self.n_views = n_views
         self.image_size = image_size
+        # synthesis renders through the volume renderer — cache scenes
+        # so a training loop re-drawing the same ids each step doesn't
+        # re-render them (4 scenes at 256^2 x 10 views = ~31 MB host)
+        self._cache = {}
 
     def __len__(self):
         return self.n_scenes
 
     def __getitem__(self, idx: int) -> SceneData:
-        return make_synthetic_scene(self.n_views, self.image_size, seed=idx)
+        if idx not in self._cache:
+            self._cache[idx] = make_synthetic_scene(
+                self.n_views, self.image_size, seed=idx)
+        return self._cache[idx]
