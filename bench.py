@@ -361,7 +361,7 @@ def main():
             # FLOP bound (PERF.md round 1) — low MFU here is the cost of
             # random table access, not wasted MXU
             extra["mfu_ngp_full_grad"] = round(
-                f_ngp / dt_full / PEAK_FLOPS, 3)
+                f_ngp / dt_full / PEAK_FLOPS, 5)
         log(f"[bench] full grad step {1e3 * dt_full:.0f} ms "
             f"({time.time() - _t_start:.0f}s)")
         save_partial(steps_per_sec, extra)
@@ -483,16 +483,26 @@ def main():
         k_t = jax.random.PRNGKey(11)
         log(f"[bench] train step built ({time.time() - _t_start:.0f}s)")
 
-        def chain_train(carry):
-            st, acc = carry
-            st2, aux = step_fn(st, batch, k_t)
-            return (st2, acc + aux["loss"])
+        # FLOPs BEFORE timing: the step donates its state, so state_t's
+        # buffers are dead after the first call (lower() only needs
+        # avals, but stay on the safe side of deleted-array semantics)
+        f_train = flops_of(step_fn, state_t, batch, k_t)
 
-        dt_train = timeit(chain_train, (state_t, jnp.zeros(())),
-                          n1=1, n2=5, warmup=1)
+        # the step donates state (double-buffering the dim-256 params +
+        # two Adam states OOMs the 16 GB v5e): thread the live state
+        # through a box so every call consumes the newest buffers and
+        # the timing carry stays a scalar
+        state_box = [state_t]
+
+        def chain_train(acc):
+            st2, aux = step_fn(state_box[0], batch, k_t)
+            state_box[0] = st2
+            return acc + aux["loss"]
+
+        dt_train = timeit(chain_train, jnp.zeros(()), n1=1, n2=5,
+                          warmup=1)
         extra["train_step_ms"] = round(1e3 * dt_train, 1)
         extra["train_steps_per_sec"] = round(1.0 / dt_train, 3)
-        f_train = flops_of(step_fn, state_t, batch, k_t)
         if f_train:
             extra["mfu_train_step"] = round(
                 f_train / dt_train / PEAK_FLOPS, 3)

@@ -296,6 +296,11 @@ def make_train_step(models: SparseFusionModels, cfg: TrainConfig, tx,
             new_state["eft_opt_state"] = eopt
         return new_state, {"loss": loss, **aux}
 
+    # state is DONATED: without it the params + two Adam states are
+    # double-buffered across the update, which alone is ~2x the resident
+    # footprint of the dim-256 SF config and OOMs a 16 GB v5e at
+    # diffusion_batch_size 12 (donation is a no-op on CPU, so tests that
+    # reuse a state after stepping are unaffected there)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
@@ -304,5 +309,6 @@ def make_train_step(models: SparseFusionModels, cfg: TrainConfig, tx,
         # XLA derives the gradient all-reduce from this placement.
         return jax.jit(train_step,
                        in_shardings=(repl, shard, repl),
-                       out_shardings=(repl, repl))
-    return jax.jit(train_step)
+                       out_shardings=(repl, repl),
+                       donate_argnums=0)
+    return jax.jit(train_step, donate_argnums=0)
