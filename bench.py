@@ -506,10 +506,42 @@ def main():
         if f_train:
             extra["mfu_train_step"] = round(
                 f_train / dt_train / PEAK_FLOPS, 3)
-        hb_stop.set()
         log(f"[bench] train step {1e3 * dt_train:.0f} ms "
             f"mfu {extra.get('mfu_train_step')} "
             f"({time.time() - _t_start:.0f}s)")
+        save_partial(steps_per_sec, extra)
+
+        # bf16 mixed-precision train step (TrainConfig.compute_dtype) —
+        # env-gated: the extra compile + timing doesn't fit the driver's
+        # default 1100s watchdog budget; run manually with
+        # SF_BENCH_BF16=1 SF_BENCH_BUDGET_S=1800 (numbers in PERF.md r5)
+        if os.environ.get("SF_BENCH_BF16"):
+            try:
+                import dataclasses as _dc
+
+                cfg_b = _dc.replace(cfg_t, compute_dtype="bfloat16")
+                step_fn_b = make_train_step(models_t, cfg_b, tx_t,
+                                            eft_tx_t)
+                f_train_b = flops_of(step_fn_b, state_box[0], batch, k_t)
+
+                def chain_train_b(acc):
+                    st2, aux = step_fn_b(state_box[0], batch, k_t)
+                    state_box[0] = st2
+                    return acc + aux["loss"]
+
+                dt_b = timeit(chain_train_b, jnp.zeros(()), n1=1, n2=5,
+                              warmup=1)
+                extra["train_step_bf16_ms"] = round(1e3 * dt_b, 1)
+                if f_train_b:
+                    extra["mfu_train_step_bf16"] = round(
+                        f_train_b / dt_b / PEAK_FLOPS, 3)
+                log(f"[bench] train step bf16 {1e3 * dt_b:.0f} ms "
+                    f"mfu {extra.get('mfu_train_step_bf16')} "
+                    f"({time.time() - _t_start:.0f}s)")
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] bf16 train-step skipped: "
+                    f"{type(e).__name__}: {e}")
+        hb_stop.set()
         save_partial(steps_per_sec, extra)
     except Exception as e:  # noqa: BLE001
         log(f"[bench] train-step section skipped: {type(e).__name__}: {e}")

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--preset", type=str, default="sf",
                    choices=["sf", "tiny"],
                    help="'tiny' swaps in small model configs (smoke tests)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 UNet activations in the train step "
+                        "(master params/optimizer/loss stay f32) — the "
+                        "TPU mixed-precision recipe, analogous to the "
+                        "reference's fp16 autocast")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans: error at the first op "
                         "producing a NaN with its provenance (the "
@@ -123,7 +128,9 @@ def main(argv=None):
     cfg = TrainConfig(lr=args.lr, context_size=max(context_sizes),
                       diffusion_batch_size=args.diffusion_batch_size,
                       train_eft=args.train_eft,
-                      latent_size=args.image_size // 8)
+                      latent_size=args.image_size // 8,
+                      compute_dtype="bfloat16" if args.bf16
+                      else "float32")
     tx, eft_tx = make_optimizers(cfg)
     mesh = make_mesh()
     n_dev = len(jax.devices())

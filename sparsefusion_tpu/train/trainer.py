@@ -51,6 +51,16 @@ class TrainConfig:
     latent_size: int = 32
     eft_n_pts: int = 20
     valid_thresh: float = 0.6
+    # UNet activation dtype for the train step ("float32" | "bfloat16").
+    # bfloat16 is the TPU mixed-precision recipe (the analogue of the
+    # reference's fp16 autocast on A100): master params, optimizer
+    # state, loss math, and gradients stay f32 — flax casts activations
+    # and weight reads to bf16 inside the UNet, which runs its matmuls/
+    # convs at the MXU's 2x bf16 rate.  At diffusion_batch_size 12 the
+    # step is compute-bound (unlike the batch-1 sampler, PERF.md round
+    # 2), so the per-use weight cast amortizes.  Combined with the
+    # zero_if_not_finite guard below, a bad batch skips cleanly.
+    compute_dtype: str = "float32"
     # Skip (rather than apply) updates whose grads contain non-finite
     # values — the TPU analogue of the reference's per-sequence backward
     # try/except + continue (``train.py:426-432``).  Unlike
@@ -198,6 +208,12 @@ def make_train_step(models: SparseFusionModels, cfg: TrainConfig, tx,
     """Build the jitted (optionally mesh-sharded) train step."""
     ddpm = models.ddpm
     latent_hw = cfg.latent_size
+    unet_model = models.unet_model
+    if cfg.compute_dtype == "bfloat16":
+        from sparsefusion_tpu.nn.unet import EfficientUNet
+
+        unet_model = EfficientUNet(models.unet_model.config,
+                                   dtype=jnp.bfloat16)
 
     def per_scene_loss(unet_params, eft_params, batch_slice, rng):
         q_cam: Cameras = batch_slice["query_cam"]
@@ -245,8 +261,10 @@ def make_train_step(models: SparseFusionModels, cfg: TrainConfig, tx,
         times = ddpm.schedule.sample_random_times(k_t, dbs)
 
         def denoise(x, log_snr, cond, keep):
-            return models.unet_model.apply(
-                {"params": unet_params}, x, log_snr, cond, keep)
+            # upcast so the eps loss is f32 regardless of compute_dtype
+            return unet_model.apply(
+                {"params": unet_params}, x, log_snr, cond,
+                keep).astype(jnp.float32)
 
         d_loss = ddpm.p_losses(denoise, z_b, times, k_loss,
                                cond_images=feat_b, loss_mask=loss_mask)
@@ -299,8 +317,10 @@ def make_train_step(models: SparseFusionModels, cfg: TrainConfig, tx,
     # state is DONATED: without it the params + two Adam states are
     # double-buffered across the update, which alone is ~2x the resident
     # footprint of the dim-256 SF config and OOMs a 16 GB v5e at
-    # diffusion_batch_size 12 (donation is a no-op on CPU, so tests that
-    # reuse a state after stepping are unaffected there)
+    # diffusion_batch_size 12.  Donation is honored on CPU too — callers
+    # must treat the passed-in state as consumed (rebind: ``state, aux =
+    # step_fn(state, ...)``) and never feed a stepped-in state, or the
+    # model bundle's original param arrays, to another step
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())

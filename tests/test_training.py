@@ -83,6 +83,41 @@ def test_train_step_data_parallel_8dev():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_train_step_bf16_compute():
+    """bf16 UNet activations: f32 master params/grads, loss near f32.
+
+    The TPU mixed-precision recipe (TrainConfig.compute_dtype): the
+    parameter tree, optimizer state, and loss math stay f32; only the
+    UNet's activations/weight reads are bf16.  The first-step loss must
+    agree with the f32 step to bf16 rounding (same rng -> same noise,
+    eps-pred differs only by activation rounding).
+    """
+    models = tiny_models()
+    kw = dict(latent_size=8, context_size=2, train_eft=True,
+              diffusion_batch_size=2)
+    tx, eft_tx = make_optimizers(TrainConfig(**kw))
+    batch = make_batch(models, 1)
+    k = jax.random.PRNGKey(3)
+
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = TrainConfig(compute_dtype=dt, **kw)
+        step_fn = make_train_step(models, cfg, tx, eft_tx)
+        # the step donates its state; copy the leaves so the second
+        # dtype's state isn't built from already-donated buffers
+        state = jax.tree_util.tree_map(
+            jnp.copy, make_state(models, cfg, tx, eft_tx))
+        new_state, aux = step_fn(state, batch, k)
+        losses[dt] = float(aux["loss"])
+        # master params stay f32 after the update
+        for leaf in jax.tree_util.tree_leaves(new_state["unet_params"]):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(losses["bfloat16"])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * (
+        abs(losses["float32"]) + 1e-3)
+
+
 def test_shard_scene_list():
     assert shard_scene_list(range(10), 4, 0) == [0, 1, 2]
     assert shard_scene_list(range(10), 4, 3) == [8, 9]
