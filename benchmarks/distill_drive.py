@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--sampler-bf16", action="store_true",
                     help="run the PLMS sampler in bf16 with pre-cast "
                          "bf16 UNet params (halved weight traffic)")
+    ap.add_argument("--mm-scatter", type=int, default=0,
+                    help="levels with <= this many blocked rows use the "
+                         "one-hot-matmul segment reduction for their "
+                         "backward table grad (0 = XLA scatter)")
     ap.add_argument("--pallas-gather", action="store_true",
                     help="serve the NGP row gathers from VMEM "
                          "(kernels/grid_gather.py)")
@@ -149,11 +153,12 @@ def main():
     if args.no_fused:
         over["fused_steps"] = False
     if args.levels is not None or args.level_dim is not None \
-            or args.pallas_gather:
+            or args.pallas_gather or args.mm_scatter:
         from sparsefusion_tpu.nn.ngp import NGPConfig
         over["ngp"] = NGPConfig(
             num_levels=args.levels or 8, level_dim=args.level_dim or 4,
-            table_dtype="bfloat16", pallas_gather=args.pallas_gather)
+            table_dtype="bfloat16", pallas_gather=args.pallas_gather,
+            mm_scatter_rows=args.mm_scatter)
     if args.reference_preset:
         from sparsefusion_tpu.distill.loop import DistillConfig
 

@@ -108,6 +108,12 @@ class NGPConfig:
     # the path is parity-tested in interpret mode and kept for newer
     # libtpu/Mosaic stacks (adjoint scatter stays XLA either way)
     pallas_gather: bool = False
+    # levels whose blocked table has <= this many rows compute their
+    # backward table gradient as a chunked one-hot MATMUL segment
+    # reduction (MXU) instead of XLA's row-latency-bound scatter-add
+    # (ops/grid_encode_blocked.py::_segsum_onehot; VERDICT r4 #8).
+    # 0 = off (stock autodiff backward).
+    mm_scatter_rows: int = 0
 
     def encoding(self) -> GridEncoding:
         return make_grid_encoding(
@@ -172,7 +178,8 @@ class NGPField(nn.Module):
         if self._blocked is not None:
             h = blocked_grid_encode_bound(x, self.grid, self._blocked,
                                           bound=cfg.bound, tables=tables,
-                                          pallas_gather=cfg.pallas_gather)
+                                          pallas_gather=cfg.pallas_gather,
+                                          mm_scatter_rows=cfg.mm_scatter_rows)
         else:
             h = grid_encode_bound(x, self.grid, self._enc, bound=cfg.bound)
         h = h.astype(self.dtype)

@@ -35,6 +35,7 @@ hash levels fall back to ``ops/grid_encode.py``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Tuple
 
 import jax
@@ -161,19 +162,76 @@ def _axis_weights(local: jnp.ndarray, frac: jnp.ndarray,
     return ((i == l) * (1.0 - f) + (i == l + 1) * f).astype(jnp.float32)
 
 
+def _level_krow_w(x01: jnp.ndarray, lv: BlockedLevel,
+                  blk: BlockedGridEncoding
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-level blocked row index (no row_offset) + padded lane weights.
+
+    x01: (N, 3) f32 in [0, 1] -> krow (N,) i32, w (N, width//C) f32.
+    """
+    N = x01.shape[0]
+    shift = {2: 1, 4: 2}[blk.block]
+    mask = blk.block - 1
+    nb = blk.block + 1
+    max_lanes = blk.width // blk.base.level_dim
+
+    pos = x01 * lv.scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pg = pos_grid.astype(jnp.int32)
+    b = pg >> shift
+    local = (pg & mask).astype(jnp.int32)
+
+    krow = b[:, 0].astype(jnp.uint32)
+    if lv.stride_y != 0:
+        krow = krow + b[:, 1].astype(jnp.uint32) * jnp.uint32(lv.stride_y)
+    if lv.stride_z != 0:
+        krow = krow + b[:, 2].astype(jnp.uint32) * jnp.uint32(lv.stride_z)
+    krow = (krow % jnp.uint32(lv.n_rows)).astype(jnp.int32)
+
+    # dropped-axis weights sum to 1, so omitting them is exact
+    wx = _axis_weights(local[:, 0], frac[:, 0], nb)
+    if lv.stride_y != 0 and lv.stride_z != 0:
+        wy = _axis_weights(local[:, 1], frac[:, 1], nb)
+        wz = _axis_weights(local[:, 2], frac[:, 2], nb)
+        w = jnp.einsum("na,nb,nc->nabc", wx, wy, wz).reshape(N, nb ** 3)
+    elif lv.stride_y != 0:
+        wy = _axis_weights(local[:, 1], frac[:, 1], nb)
+        w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, nb ** 2)
+    else:
+        w = wx
+    if w.shape[1] < max_lanes:
+        w = jnp.pad(w, ((0, 0), (0, max_lanes - w.shape[1])))
+    return krow, w
+
+
 def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
                         blk: BlockedGridEncoding,
                         pallas_gather: bool = False,
-                        pallas_bin_rows: int = 8192) -> jnp.ndarray:
+                        pallas_bin_rows: int = 8192,
+                        mm_scatter_rows: int = 0,
+                        mm_chunk: int = 131072) -> jnp.ndarray:
     """Encode points with the pre-expanded blocked table.
 
     Args:
         x01: (N, 3) in [0, 1].
         table: output of :func:`expand_blocked_tables`.
+        mm_scatter_rows: if > 0, levels whose blocked table has at most
+            this many rows compute their backward table gradient as a
+            chunked one-hot MATMUL segment reduction (MXU) instead of
+            XLA's scatter-add (row-latency bound, ~45 M rows/s measured
+            — PERF.md round 1).  0 disables (the stock autodiff path).
+        mm_chunk: N-chunk for the one-hot matmul.
 
     Returns:
         (N, L * C), identical values to ``grid_encode``.
     """
+    if mm_scatter_rows > 0:
+        # takes precedence over pallas_gather (the two paths are
+        # mutually exclusive; pallas_gather is default-off/dead on the
+        # current toolchain anyway — PERF.md round 3c)
+        return _blocked_encode_mm(x01, table, blk, mm_scatter_rows,
+                                  mm_chunk)
     N = x01.shape[0]
     C = blk.base.level_dim
     L = len(blk.levels)
@@ -181,40 +239,11 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
     x01 = x01.astype(jnp.float32)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
 
-    shift = {2: 1, 4: 2}[blk.block]
-    mask = blk.block - 1
-    nb = blk.block + 1
     max_lanes = W // C
 
     level_outs = []
     for lv in blk.levels:
-        pos = x01 * lv.scale + 0.5
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        pg = pos_grid.astype(jnp.int32)
-        b = pg >> shift
-        local = (pg & mask).astype(jnp.int32)
-
-        krow = b[:, 0].astype(jnp.uint32)
-        if lv.stride_y != 0:
-            krow = krow + b[:, 1].astype(jnp.uint32) * jnp.uint32(lv.stride_y)
-        if lv.stride_z != 0:
-            krow = krow + b[:, 2].astype(jnp.uint32) * jnp.uint32(lv.stride_z)
-        krow = (krow % jnp.uint32(lv.n_rows)).astype(jnp.int32)
-
-        # dropped-axis weights sum to 1, so omitting them is exact
-        wx = _axis_weights(local[:, 0], frac[:, 0], nb)
-        if lv.stride_y != 0 and lv.stride_z != 0:
-            wy = _axis_weights(local[:, 1], frac[:, 1], nb)
-            wz = _axis_weights(local[:, 2], frac[:, 2], nb)
-            w = jnp.einsum("na,nb,nc->nabc", wx, wy, wz).reshape(N, nb ** 3)
-        elif lv.stride_y != 0:
-            wy = _axis_weights(local[:, 1], frac[:, 1], nb)
-            w = jnp.einsum("na,nb->nab", wx, wy).reshape(N, nb ** 2)
-        else:
-            w = wx
-        if w.shape[1] < max_lanes:
-            w = jnp.pad(w, ((0, 0), (0, max_lanes - w.shape[1])))
+        krow, w = _level_krow_w(x01, lv, blk)
 
         # per-level gather keeps peak temporaries at (N, W); a consolidated
         # (L*N, W) single gather OOM'd (16 GB padded temps) at render sizes
@@ -245,12 +274,99 @@ def blocked_grid_encode(x01: jnp.ndarray, table: jnp.ndarray,
     return jnp.where(oob[:, None], 0.0, out)
 
 
+def _segsum_onehot(d_rows: jnp.ndarray, krow: jnp.ndarray, n_rows: int,
+                   chunk: int) -> jnp.ndarray:
+    """``sum_n [krow_n == r] * d_rows[n] -> (n_rows, W)`` as chunked
+    one-hot matmuls: bf16 operands, f32 MXU accumulation.
+
+    The one-hot factor is exact (0/1); the only rounding is d_rows ->
+    bf16, and accumulation stays f32 — vs the bf16 scatter-add the
+    shipped bf16-table preset uses (which also accumulates IN bf16).
+    Out-of-range pad indices (== n_rows) match no column and drop out.
+    """
+    N, W = d_rows.shape
+    if N % chunk:
+        pad = chunk - N % chunk
+        d_rows = jnp.pad(d_rows, ((0, pad), (0, 0)))
+        krow = jnp.pad(krow, (0, pad), constant_values=n_rows)
+        N += pad
+    nchunks = N // chunk
+    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_rows), 1)
+
+    def body(acc, j):
+        ci = jax.lax.dynamic_slice_in_dim(krow, j * chunk, chunk)
+        cv = jax.lax.dynamic_slice_in_dim(d_rows, j * chunk, chunk)
+        oh = (ci[:, None] == iota).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            oh, cv.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, 0
+
+    if nchunks == 1:
+        acc, _ = body(jnp.zeros((n_rows, W), jnp.float32), 0)
+        return acc
+    acc, _ = jax.lax.scan(body, jnp.zeros((n_rows, W), jnp.float32),
+                          jnp.arange(nchunks))
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _blocked_encode_mm(x01, table, blk, mm_rows, mm_chunk):
+    """blocked_grid_encode with a matmul segment-reduction backward for
+    small levels (VERDICT r4 #8: the backward row scatter is latency
+    bound at ~45 M rows/s regardless of level size; at n_rows <=
+    mm_rows the N*n_rows*W one-hot matmul is cheaper on the MXU)."""
+    return blocked_grid_encode(x01, table, blk)
+
+
+def _blocked_encode_mm_fwd(x01, table, blk, mm_rows, mm_chunk):
+    return blocked_grid_encode(x01, table, blk), (x01, table)
+
+
+def _blocked_encode_mm_bwd(blk, mm_rows, mm_chunk, res, g):
+    x01, table = res
+    x01f = x01.astype(jnp.float32)
+    N = x01f.shape[0]
+    C = blk.base.level_dim
+    L = len(blk.levels)
+    oob = jnp.any((x01f < 0.0) | (x01f > 1.0), axis=-1)
+    gm = jnp.where(oob[:, None], 0.0, g)        # adjoint of the oob where
+    g3 = gm.reshape(N, L, C)
+
+    d_levels = []
+    for li, lv in enumerate(blk.levels):
+        krow, w = _level_krow_w(x01f, lv, blk)
+        # adjoint of einsum("nl,nlc->nc") wrt the gathered rows
+        d_rows = (w[:, :, None] * g3[:, li, :][:, None, :]
+                  ).reshape(N, blk.width).astype(jnp.float32)
+        if lv.n_rows <= mm_rows:
+            d_tab = _segsum_onehot(d_rows, krow, lv.n_rows, mm_chunk)
+        else:
+            d_tab = jnp.zeros((lv.n_rows, blk.width), jnp.float32
+                              ).at[krow].add(d_rows)
+        d_levels.append(d_tab)
+    d_table = jnp.concatenate(d_levels, axis=0).astype(table.dtype)
+
+    # position cotangent via a nested vjp wrt x01 only: the table is
+    # closed over, so NO table scatter appears in this graph; the whole
+    # branch is DCE'd when positions are stop-gradiented (they are on
+    # every render path — render/volume.py stop-gradients the z samples)
+    _, pull = jax.vjp(lambda p: blocked_grid_encode(p, table, blk), x01)
+    d_x01 = pull(g)[0]
+    return d_x01, d_table
+
+
+_blocked_encode_mm.defvjp(_blocked_encode_mm_fwd, _blocked_encode_mm_bwd)
+
+
 def blocked_grid_encode_bound(x: jnp.ndarray, master: jnp.ndarray,
                               blk: BlockedGridEncoding,
                               bound: float = 1.0,
                               tables: jnp.ndarray | None = None,
                               pallas_gather: bool = False,
-                              pallas_bin_rows: int = 8192
+                              pallas_bin_rows: int = 8192,
+                              mm_scatter_rows: int = 0,
+                              mm_chunk: int = 131072
                               ) -> jnp.ndarray:
     """[-bound, bound] entry point; expands the table if not given."""
     if tables is None:
@@ -258,5 +374,7 @@ def blocked_grid_encode_bound(x: jnp.ndarray, master: jnp.ndarray,
     prefix = x.shape[:-1]
     x01 = (x.reshape(-1, 3) + bound) / (2.0 * bound)
     out = blocked_grid_encode(x01, tables, blk, pallas_gather=pallas_gather,
-                              pallas_bin_rows=pallas_bin_rows)
+                              pallas_bin_rows=pallas_bin_rows,
+                              mm_scatter_rows=mm_scatter_rows,
+                              mm_chunk=mm_chunk)
     return out.reshape(*prefix, -1)
